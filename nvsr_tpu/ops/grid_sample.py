@@ -1,0 +1,152 @@
+"""2-D feature-plane sampling (the hot gather of the whole pipeline).
+
+TPU-native replacement for the reference's cuDNN `grid_sample`
+(reference models.py:303-309,320-326: bilinear/bicubic interpolation,
+`padding_mode='border'`, configurable `align_corners`). The reference
+invokes it once per plane per point batch; here it is a pure jnp function
+whose autodiff transpose yields the scatter-add needed for plane training.
+
+Numerics are validated against torch.nn.functional.grid_sample in
+tests/test_grid_sample.py (torch used as an oracle only).
+
+Layout note: planes are stored [C, H, W]; sample points come as
+grid [..., 2] in [-1, 1] where grid[..., 0] = x (indexes W) and
+grid[..., 1] = y (indexes H), matching the torch convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _bilinear(plane, gx, gy, align_corners: bool):
+    """plane [C,H,W]; gx/gy [N] in [-1,1] -> [N,C]."""
+    C, H, W = plane.shape
+    x = _unnormalize(gx, W, align_corners)
+    y = _unnormalize(gy, H, align_corners)
+    # border padding: clip the source coordinate before computing weights
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    flat = plane.reshape(C, H * W)
+
+    def gather(yi, xi):
+        return jnp.take(flat, yi * W + xi, axis=1)  # [C, N]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 * (1.0 - tx) + v01 * tx
+    bot = v10 * (1.0 - tx) + v11 * tx
+    out = top * (1.0 - ty) + bot * ty
+    return out.T  # [N, C]
+
+
+def _cubic_coeffs(t, A: float = -0.75):
+    """Torch's upsampling cubic coefficients (t = fractional offset)."""
+    # coefficients for taps at offsets [-1, 0, 1, 2]
+    def poly1(x):  # |x| in [1, 2)
+        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
+
+    def poly0(x):  # |x| in [0, 1)
+        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+
+    w0 = poly1(t + 1.0)
+    w1 = poly0(t)
+    w2 = poly0(1.0 - t)
+    w3 = poly1(2.0 - t)
+    return w0, w1, w2, w3
+
+
+def _bicubic(plane, gx, gy, align_corners: bool):
+    """Bicubic sampling with border padding (clip tap indices)."""
+    C, H, W = plane.shape
+    x = _unnormalize(gx, W, align_corners)
+    y = _unnormalize(gy, H, align_corners)
+    # Unlike bilinear, torch bicubic does NOT clip the source coordinate
+    # for border padding; only the 4x4 tap indices are clamped
+    # (ATen grid_sampler: unnormalize + get_value_bounded).
+
+    x1 = jnp.floor(x)
+    y1 = jnp.floor(y)
+    tx = x - x1
+    ty = y - y1
+    wx = _cubic_coeffs(tx)
+    wy = _cubic_coeffs(ty)
+
+    x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+    flat = plane.reshape(C, H * W)
+
+    out = 0.0
+    for j in range(4):
+        yi = jnp.clip(y1i + (j - 1), 0, H - 1)
+        row = 0.0
+        for i in range(4):
+            xi = jnp.clip(x1i + (i - 1), 0, W - 1)
+            row = row + wx[i] * jnp.take(flat, yi * W + xi, axis=1)
+        out = out + wy[j] * row
+    return out.T  # [N, C]
+
+
+@partial(jax.jit, static_argnames=("mode", "align_corners"))
+def grid_sample_2d(plane, grid, mode: str = "bilinear",
+                   align_corners: bool = True):
+    """Sample a feature plane at continuous locations.
+
+    Args:
+      plane: [C, H, W] feature plane.
+      grid: [..., 2] normalized coords in [-1, 1]; last-dim order (x, y).
+      mode: 'bilinear' | 'bicubic'.
+      align_corners: torch semantics.
+
+    Returns:
+      [..., C] sampled features.
+    """
+    lead_shape = grid.shape[:-1]
+    g = grid.reshape(-1, 2)
+    if mode == "bilinear":
+        out = _bilinear(plane, g[:, 0], g[:, 1], align_corners)
+    elif mode == "bicubic":
+        out = _bicubic(plane, g[:, 0], g[:, 1], align_corners)
+    else:
+        raise ValueError(f"unknown interpolation mode: {mode}")
+    return out.reshape(*lead_shape, plane.shape[0])
+
+
+def multi_plane_sample(planes, grids, mode: str = "bilinear",
+                       align_corners: bool = True):
+    """Sample a stack of planes at per-plane grids and return the list.
+
+    Args:
+      planes: [P, C, H, W] stacked planes (same resolution).
+      grids: [P, N, 2] per-plane sample grids.
+
+    Returns:
+      [P, N, C]. Used for the triplane positional gather where all
+      positional planes of a scene share one resolution.
+    """
+    return jax.vmap(lambda p, g: grid_sample_2d(p, g, mode=mode,
+                                                align_corners=align_corners)
+                    )(planes, grids)

@@ -1,0 +1,87 @@
+"""Volume rendering: alpha compositing of radiance samples.
+
+Pure-jnp re-derivation of the reference compositor
+(reference volume_rendering_utils.py:6-51, nerf_helpers.py:409-430).
+Everything fuses under jit into the decoder epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray      # [R, 3]
+    disp: jnp.ndarray     # [R]
+    acc: jnp.ndarray      # [R]
+    weights: jnp.ndarray  # [R, S]
+    depth: jnp.ndarray    # [R]
+
+
+def cumprod_exclusive(x):
+    """tf.math.cumprod(..., exclusive=True) along the last axis.
+
+    Matches reference nerf_helpers.py:409-430 (cumprod, shift right,
+    leading 1).
+    """
+    cp = jnp.cumprod(x, axis=-1)
+    return jnp.concatenate([jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1)
+
+
+def volume_render(radiance_field, z_vals, ray_directions, *,
+                  noise_key=None, radiance_field_noise_std: float = 0.0,
+                  white_background: bool = False, mip: bool = False):
+    """Composite per-sample (rgb, sigma) into per-ray maps.
+
+    Args:
+      radiance_field: [R, S, 4] raw (rgb logits, density logit).
+      z_vals: [R, S] (non-mip) or [R, S+1] interval edges (mip).
+      ray_directions: [R, 3] unnormalized; their norm scales the sample
+        distances (reference volume_rendering_utils.py:27).
+      noise_key: PRNG key for density noise (train-time regularizer).
+
+    Matches reference volume_rendering_utils.py:6-51: last interval is
+    1e10 (non-mip), weights use exp-transmittance with the +1e-10 alpha
+    floor, and mip depths use interval midpoints.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    if not mip:
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(z_vals[..., :1], 1e10)], axis=-1)
+    dists = dists * jnp.linalg.norm(ray_directions, axis=-1, keepdims=True)
+
+    rgb = jax.nn.sigmoid(radiance_field[..., :3])
+    sigma_logit = radiance_field[..., 3]
+    if radiance_field_noise_std > 0.0 and noise_key is not None:
+        sigma_logit = sigma_logit + radiance_field_noise_std * jax.random.normal(
+            noise_key, sigma_logit.shape, dtype=sigma_logit.dtype)
+    sigma = jax.nn.relu(sigma_logit)
+
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_vals = z_vals
+    if mip:
+        depth_vals = 0.5 * (z_vals[..., :-1] + z_vals[..., 1:])
+    depth_map = jnp.sum(weights * depth_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+
+
+def img2mse(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def mse2psnr(mse):
+    # replace an exactly-zero mse (reference nerf_helpers.py:265-269)
+    mse = jnp.where(mse == 0, 1e-5, mse)
+    return -10.0 * jnp.log10(mse)
