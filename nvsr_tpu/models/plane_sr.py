@@ -1,0 +1,390 @@
+"""Feature-plane super-resolution: EDSR / SRResNet backbones + wrapper.
+
+TPU-native re-design of the reference's plane-SR stack
+(reference models.py:769-926 EDSR+PlanesSR, models.py:1021-1145 SRResNet):
+
+  * EDSR runs VALID (zero-padding-free) convolutions, tracking the same
+    fractional `required_padding` bookkeeping as the reference
+    (models.py:793-800,840-842) so replicate-padded full-plane SR is
+    bit-comparable: pad by ceil(P), run, crop `HR_overpadding`.
+  * The reference's ROI path (models.py:884-926) — a GPU memory
+    optimization that super-resolves only the sampled crop — is replaced
+    by whole-plane SR once per step: on TPU the batched convs are
+    MXU-bound and the result is cached outside the jitted render, which
+    is numerically what the reference's SR_planes cache converges to.
+  * PixelShuffle is a reshape/transpose; XLA fuses it into the convs.
+
+Conv weights use the reference's Kaiming/10 init (models.py:843-848).
+Parity is tested against a torch re-derivation in tests/test_plane_sr.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvsr_tpu.ops.resize import upsample_plane
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+# ---------------------------------------------------------------------------
+# Layer plan (kernel sizes + padding bookkeeping)
+# ---------------------------------------------------------------------------
+
+def edsr_layer_plan(n_blocks: int, scale_factor: int,
+                    receptive_field_bound: int = _INT32_MAX) -> dict:
+    """Kernel-size schedule + fractional required padding.
+
+    Mirrors the reference's `kernel_size()` closure (models.py:795-800):
+    layers switch to 1x1 once the receptive field would exceed the bound;
+    the receptive-field growth per conv halves after each PixelShuffle.
+    """
+    assert math.log2(scale_factor) == int(math.log2(scale_factor)), \
+        "only power-of-2 SR scale factors are supported"
+    state = {"pad": 0.0, "rf": 1.0}
+    KS = 3
+
+    def ks(num_layers: int = 1) -> int:
+        if (1 + 2 * (state["pad"] + state["rf"] * num_layers * ((KS - 1) // 2))
+                ) <= receptive_field_bound:
+            state["pad"] += state["rf"] * num_layers * (KS // 2)
+            return KS
+        return 1
+
+    plan = {"conv_input": ks()}
+    plan["blocks"] = [ks(2) for _ in range(n_blocks)]
+    plan["conv_mid"] = ks()
+    ups = []
+    for _ in range(int(math.log2(scale_factor))):
+        ups.append(ks())
+        state["rf"] /= 2
+    plan["upscale"] = ups
+    plan["conv_output"] = ks()
+    plan["required_padding_raw"] = state["pad"]
+    return plan
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneSRConfig:
+    arch: str = "EDSR"                   # EDSR | SRResNet
+    in_channels: int = 48
+    out_channels: int = 48
+    hidden_size: int = 256
+    n_blocks: int = 32
+    scale_factor: int = 4
+    receptive_field_bound: int = _INT32_MAX
+    plane_interp: str = "bilinear"       # residual-upsample mode
+    align_corners: bool = True
+    input_normalization: bool = False
+    sr_input_noise: float = 0.0
+    sr_output_noise: float = 0.0
+    no_batch_norm: bool = False          # SRResNet only
+
+    @property
+    def required_padding(self) -> int:
+        """Integer replicate-padding of the LR input
+        (reference models.py:840-841)."""
+        if self.arch != "EDSR":
+            return 0
+        raw = edsr_layer_plan(self.n_blocks, self.scale_factor,
+                              self.receptive_field_bound)[
+                                  "required_padding_raw"]
+        return int(np.ceil(raw))
+
+    @property
+    def hr_overpadding(self) -> int:
+        """Crop applied to the HR output (reference models.py:840-842)."""
+        if self.arch != "EDSR":
+            return 0
+        raw = edsr_layer_plan(self.n_blocks, self.scale_factor,
+                              self.receptive_field_bound)[
+                                  "required_padding_raw"]
+        return int(np.ceil(raw)) * self.scale_factor - int(
+            raw * self.scale_factor)
+
+    @classmethod
+    def from_cfg(cls, sr_cfg, scale_factor: int, plane_channels: int,
+                 plane_interp: str, align_corners: bool) -> "PlaneSRConfig":
+        """Build from a reference-style `super_resolution` YAML section
+        (train_nerf.py:417-425 wiring)."""
+        model = sr_cfg.get("model", {})
+        return cls(
+            arch=model.get("type", "EDSR"),
+            in_channels=plane_channels,
+            out_channels=plane_channels,
+            hidden_size=model.get("hidden_size", 256),
+            n_blocks=model.get("n_blocks", 32),
+            scale_factor=scale_factor,
+            receptive_field_bound=model.get("receptive_field_bound",
+                                            _INT32_MAX),
+            plane_interp=sr_cfg.get("plane_resize_mode", plane_interp),
+            align_corners=align_corners,
+            input_normalization=sr_cfg.get("input_normalization", False),
+            sr_input_noise=sr_cfg.get("sr_input_noise", 0.0),
+            sr_output_noise=sr_cfg.get("sr_output_noise", 0.0),
+            no_batch_norm=model.get("no_batch_norm", False),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Params + primitives
+# ---------------------------------------------------------------------------
+
+def _init_conv(key, in_ch: int, out_ch: int, k: int, bias: bool,
+               dtype=jnp.float32):
+    """Reference PlanesSR conv init: N(0, sqrt(2/n)/10), zero bias
+    (models.py:843-848, applied over every conv in the wrapper)."""
+    n = k * k * out_ch
+    std = math.sqrt(2.0 / n) / 10.0
+    p = {"w": std * jax.random.normal(key, (out_ch, in_ch, k, k), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def _conv(p, x, padding="VALID"):
+    """x: [N,C,H,W]; weight OIHW (torch layout for ckpt conversion)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"][None, :, None, None]
+    return y
+
+
+def pixel_shuffle(x, r: int):
+    """torch.nn.PixelShuffle: [N, C*r^2, H, W] -> [N, C, rH, rW]."""
+    n, c_r2, h, w = x.shape
+    c = c_r2 // (r * r)
+    x = x.reshape(n, c, r, r, h, w)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, c, h * r, w * r)
+
+
+def _prelu(p, x):
+    return jnp.where(x >= 0, x, p * x)
+
+
+# ---------------------------------------------------------------------------
+# EDSR
+# ---------------------------------------------------------------------------
+
+def init_edsr_params(key, cfg: PlaneSRConfig, dtype=jnp.float32):
+    plan = edsr_layer_plan(cfg.n_blocks, cfg.scale_factor,
+                           cfg.receptive_field_bound)
+    params = {}
+    key, sub = jax.random.split(key)
+    params["conv_input"] = _init_conv(sub, cfg.in_channels, cfg.hidden_size,
+                                      plan["conv_input"], bias=False,
+                                      dtype=dtype)
+    blocks = []
+    for k_sz in plan["blocks"]:
+        key, k1, k2 = jax.random.split(key, 3)
+        blocks.append({
+            "conv1": _init_conv(k1, cfg.hidden_size, cfg.hidden_size, k_sz,
+                                bias=False, dtype=dtype),
+            "conv2": _init_conv(k2, cfg.hidden_size, cfg.hidden_size, k_sz,
+                                bias=False, dtype=dtype),
+        })
+    params["blocks"] = blocks
+    key, sub = jax.random.split(key)
+    params["conv_mid"] = _init_conv(sub, cfg.hidden_size, cfg.hidden_size,
+                                    plan["conv_mid"], bias=False, dtype=dtype)
+    ups = []
+    for k_sz in plan["upscale"]:
+        key, sub = jax.random.split(key)
+        ups.append(_init_conv(sub, cfg.hidden_size, cfg.hidden_size * 4, k_sz,
+                              bias=False, dtype=dtype))
+    params["upscale"] = ups
+    key, sub = jax.random.split(key)
+    params["conv_output"] = _init_conv(sub, cfg.hidden_size, cfg.out_channels,
+                                       plan["conv_output"], bias=False,
+                                       dtype=dtype)
+    return params
+
+
+def apply_edsr(params, cfg: PlaneSRConfig, x):
+    """[N,C,H,W] (pre-padded) -> [N,C,H',W'] VALID-conv EDSR.
+
+    Residual blocks crop their identity path by the VALID margin
+    (reference models.py:777-786), scale the residual by 0.1, and the
+    trunk ends with PixelShuffle upscaling.
+    """
+    out = _conv(params["conv_input"], x)
+    h = out
+    for blk in params["blocks"]:
+        k_sz = blk["conv1"]["w"].shape[-1]
+        if k_sz == 1:
+            identity = h
+        else:
+            m = 2 * (k_sz // 2)
+            identity = h[..., m:-m, m:-m]
+        y = _conv(blk["conv2"], jax.nn.relu(_conv(blk["conv1"], h)))
+        h = identity + 0.1 * y
+    h = _conv(params["conv_mid"], h)
+    for up in params["upscale"]:
+        h = pixel_shuffle(_conv(up, h), 2)
+    return _conv(params["conv_output"], h)
+
+
+# ---------------------------------------------------------------------------
+# SRResNet (SRGAN generator variant; reference models.py:1021-1145)
+# ---------------------------------------------------------------------------
+
+def init_srresnet_params(key, cfg: PlaneSRConfig, dtype=jnp.float32):
+    params = {}
+    key, k1, k2 = jax.random.split(key, 3)
+    params["conv1"] = _init_conv(k1, cfg.in_channels, cfg.hidden_size, 9,
+                                 bias=True, dtype=dtype)
+    params["prelu1"] = jnp.full((), 0.25, dtype)
+    blocks = []
+    for _ in range(cfg.n_blocks):
+        key, ka, kb = jax.random.split(key, 3)
+        blk = {
+            "conv1": _init_conv(ka, cfg.hidden_size, cfg.hidden_size, 3,
+                                bias=False, dtype=dtype),
+            "prelu": jnp.full((), 0.25, dtype),
+            "conv2": _init_conv(kb, cfg.hidden_size, cfg.hidden_size, 3,
+                                bias=False, dtype=dtype),
+        }
+        if not cfg.no_batch_norm:
+            blk["bn1"] = _init_bn(cfg.hidden_size, dtype)
+            blk["bn2"] = _init_bn(cfg.hidden_size, dtype)
+        blocks.append(blk)
+    params["blocks"] = blocks
+    key, sub = jax.random.split(key)
+    params["conv2"] = _init_conv(sub, cfg.hidden_size, cfg.hidden_size, 3,
+                                 bias=False, dtype=dtype)
+    if not cfg.no_batch_norm:
+        params["bn2"] = _init_bn(cfg.hidden_size, dtype)
+    ups = []
+    for _ in range(int(math.log2(cfg.scale_factor))):
+        key, sub = jax.random.split(key)
+        ups.append({
+            "conv": _init_conv(sub, cfg.hidden_size, cfg.hidden_size * 4, 3,
+                               bias=True, dtype=dtype),
+            "prelu": jnp.full((), 0.25, dtype),
+        })
+    params["upscale"] = ups
+    key, sub = jax.random.split(key)
+    params["conv3"] = _init_conv(sub, cfg.hidden_size, cfg.out_channels, 9,
+                                 bias=True, dtype=dtype)
+    return params
+
+
+def _init_bn(ch: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype),
+            "mean": jnp.zeros((ch,), dtype), "var": jnp.ones((ch,), dtype)}
+
+
+def _bn(p, x, train: bool):
+    if train:
+        mean = jnp.mean(x, axis=(0, 2, 3))
+        var = jnp.var(x, axis=(0, 2, 3))
+    else:
+        mean, var = p["mean"], p["var"]
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return ((x - mean[None, :, None, None]) * inv[None, :, None, None]
+            * p["scale"][None, :, None, None] + p["bias"][None, :, None, None])
+
+
+def apply_srresnet(params, cfg: PlaneSRConfig, x, train: bool = False):
+    """[N,C,H,W] -> [N,C,sH,sW]; SAME padding throughout
+    (required_padding == 0, reference models.py:1077)."""
+    same = lambda k: [(k // 2, k // 2)] * 2
+
+    h1 = _prelu(params["prelu1"], _conv(params["conv1"], x, padding=same(9)))
+    h = h1
+    for blk in params["blocks"]:
+        y = _conv(blk["conv1"], h, padding=same(3))
+        if "bn1" in blk:
+            y = _bn(blk["bn1"], y, train)
+        y = _prelu(blk["prelu"], y)
+        y = _conv(blk["conv2"], y, padding=same(3))
+        if "bn2" in blk:
+            y = _bn(blk["bn2"], y, train)
+        h = h + y
+    h2 = _conv(params["conv2"], h, padding=same(3))
+    if "bn2" in params:
+        h2 = _bn(params["bn2"], h2, train)
+    h = h1 + h2
+    for up in params["upscale"]:
+        h = _prelu(up["prelu"],
+                   pixel_shuffle(_conv(up["conv"], h, padding=same(3)), 2))
+    return _conv(params["conv3"], h, padding=same(9))
+
+
+# ---------------------------------------------------------------------------
+# PlanesSR wrapper: full-plane residual super-resolution
+# ---------------------------------------------------------------------------
+
+def init_plane_sr_params(key, cfg: PlaneSRConfig, dtype=jnp.float32):
+    if cfg.arch == "EDSR":
+        params = {"inner": init_edsr_params(key, cfg, dtype)}
+    elif cfg.arch == "SRResNet":
+        params = {"inner": init_srresnet_params(key, cfg, dtype)}
+    else:
+        raise ValueError(f"unknown SR arch: {cfg.arch}")
+    if cfg.input_normalization:
+        # populated from corpus plane statistics
+        # (reference models.py:861-863, train_nerf.py:606-608)
+        params["norm"] = {
+            "mean": jnp.full((cfg.in_channels,), jnp.nan, dtype),
+            "std": jnp.full((cfg.in_channels,), jnp.nan, dtype),
+        }
+    return params
+
+
+def apply_plane_sr(params, cfg: PlaneSRConfig, lr_planes, *, train=False,
+                   noise_key=None):
+    """Super-resolve feature planes: [P,C,H,W] -> [P,C,sH,sW].
+
+    SR(plane) = inner(norm(plane + in_noise)) + bilinear_up(plane)
+    (reference models.py:884-926, full-plane path). All P planes run as
+    one conv batch (MXU-friendly).
+    """
+    x = lr_planes
+    if train and cfg.sr_input_noise > 0 and noise_key is not None:
+        noise_key, sub = jax.random.split(noise_key)
+        std = cfg.sr_input_noise * jnp.std(x)
+        x = x + std * jax.random.normal(sub, x.shape, x.dtype)
+    if "norm" in params:
+        x = (x - params["norm"]["mean"][None, :, None, None]) \
+            / params["norm"]["std"][None, :, None, None]
+
+    pad = cfg.required_padding
+    if pad > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    if cfg.arch == "EDSR":
+        diff = apply_edsr(params["inner"], cfg, x)
+    else:
+        diff = apply_srresnet(params["inner"], cfg, x, train=train)
+    over = cfg.hr_overpadding
+    if over > 0:
+        diff = diff[..., over:-over, over:-over]
+
+    residual = upsample_plane(lr_planes, cfg.scale_factor,
+                              mode=cfg.plane_interp,
+                              align_corners=cfg.align_corners)
+    out = diff + residual
+    if train and cfg.sr_output_noise > 0 and noise_key is not None:
+        std = cfg.sr_output_noise * jnp.std(jax.lax.stop_gradient(diff))
+        out = out + std * jax.random.normal(noise_key, out.shape, out.dtype)
+    return out
+
+
+def sr_scale_factor(sf_config, coupler_ds_factor: int) -> int:
+    """Resolve the SR scale factor from config
+    (reference train_nerf.py:407-415): 'linear' -> ds ratio,
+    'sqrt' -> sqrt(ds ratio), or an explicit int."""
+    if sf_config == "linear":
+        return int(coupler_ds_factor)
+    if sf_config == "sqrt":
+        return int(np.sqrt(coupler_ds_factor))
+    return int(sf_config)

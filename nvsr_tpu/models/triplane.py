@@ -1,0 +1,376 @@
+"""Triplane scene model: per-scene 2-D feature planes + shared decoders.
+
+TPU-native re-design of the reference's `TwoDimPlanesModel`
+(reference models.py:118-434). Differences in architecture, identical math:
+
+  * The decoder is a functional params-pytree; feature planes and the
+    per-scene coordinate box are explicit arguments to `apply` — nothing
+    is module state, so the whole render jits end-to-end and planes can
+    be swapped/sharded outside the graph.
+  * Plane projection rotations are fixed (non-learned) [P,3,3] matrices
+    generated host-side once (reference CoordProjector, models.py:471-497).
+  * The `ensemble_size` decoder-copies mechanism (reference models.py:169,
+    393) is a leading list of member param-trees; the member index is
+    chosen host-side per training step.
+
+Numerics validated against a torch re-derivation in tests/test_triplane.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvsr_tpu.ops.geometry import cart2az_el, normalize_coords
+from nvsr_tpu.ops.grid_sample import grid_sample_2d
+
+
+@dataclasses.dataclass(frozen=True)
+class TriplaneConfig:
+    """Static model hyperparameters (hashable: safe as a jit static arg).
+
+    Field semantics mirror the reference constructor kwargs
+    (models.py:119-139) and the `models.coarse.*` config keys.
+    """
+    use_viewdirs: bool = True
+    dec_density_layers: int = 4
+    dec_rgb_layers: int = 4
+    dec_channels: int = 128
+    skip_connect_every: Optional[int] = None
+    num_plane_channels: int = 48
+    num_viewdir_plane_channels: Optional[int] = None
+    rgb_dec_input: str = "projections"          # projections|features|projections_features
+    proj_combination: str = "sum"               # sum|avg|concat
+    plane_interp: str = "bilinear"              # bilinear|bicubic
+    align_corners: bool = True
+    viewdir_proj_combination: Optional[str] = None  # sum|avg|mult|concat|concat_pos
+    num_planes: int = 3
+    ensemble_size: int = 1
+    point_coords_noise: float = 0.0
+
+    def __post_init__(self):
+        assert self.rgb_dec_input in (
+            "projections", "features", "projections_features")
+        assert self.proj_combination in ("sum", "concat", "avg")
+        vc = self.viewdir_proj_combination or self.proj_combination
+        assert vc in ("sum", "concat", "avg", "mult", "concat_pos")
+        if self.viewdir_channels != self.num_plane_channels:
+            assert self.use_viewdirs is False or "concat" in vc
+
+    @property
+    def viewdir_channels(self) -> int:
+        if self.num_viewdir_plane_channels is not None:
+            return self.num_viewdir_plane_channels
+        return self.num_plane_channels if self.use_viewdirs else 0
+
+    @property
+    def viewdir_combination(self) -> str:
+        return self.viewdir_proj_combination or self.proj_combination
+
+    @property
+    def density_in_channels(self) -> int:
+        mult = self.num_planes if self.proj_combination == "concat" else 1
+        return self.num_plane_channels * mult
+
+    @property
+    def rgb_in_channels(self) -> int:
+        """RGB-branch input width, derived from the forward semantics.
+
+        Matches the reference layer plan (models.py:186-189) for every
+        combination the reference can actually run; for combinations
+        where the reference's plan disagrees with its own forward pass
+        (e.g. concat + sum, or use_viewdirs=False — dead paths that
+        would crash there), this follows the forward pass.
+        """
+        src_planes = 1 if "features" in self.rgb_dec_input else self.num_planes
+        pos_ch = self.num_plane_channels * (
+            src_planes if self.proj_combination == "concat" else 1)
+        if not self.use_viewdirs:
+            return pos_ch
+        comb = self.viewdir_combination
+        if comb == "concat_pos":
+            return self.num_plane_channels * src_planes + self.viewdir_channels
+        if comb == "concat":
+            return pos_ch + self.viewdir_channels
+        return pos_ch  # sum/avg/mult preserve the positional shape
+
+    def is_skip_layer(self, layer_num: int) -> bool:
+        """Reference models.py:203-207."""
+        if self.skip_connect_every is None:
+            return False
+        return layer_num % self.skip_connect_every == 0 and layer_num > 0
+
+    @classmethod
+    def from_cfg(cls, model_cfg, nerf_cfg) -> "TriplaneConfig":
+        """Build from the reference-style YAML sections
+        (train_nerf.py:317-335 constructor wiring)."""
+        g = model_cfg.get
+        return cls(
+            use_viewdirs=nerf_cfg.get("use_viewdirs", True),
+            dec_density_layers=g("dec_density_layers", 4),
+            dec_rgb_layers=g("dec_rgb_layers", 4),
+            dec_channels=g("dec_channels", 128),
+            skip_connect_every=g("skip_connect_every", None),
+            num_plane_channels=g("num_plane_channels", 48),
+            num_viewdir_plane_channels=g("num_viewdir_plane_channels", None),
+            rgb_dec_input=g("rgb_dec_input", "projections"),
+            proj_combination=g("proj_combination", "sum"),
+            plane_interp=g("plane_interp", "bilinear"),
+            align_corners=g("align_corners", True),
+            viewdir_proj_combination=g("viewdir_proj_combination", None),
+            num_planes=g("num_planes", 3),
+            ensemble_size=g("ensemble_size", 1),
+            point_coords_noise=nerf_cfg.get_path("train.point_coords_noise", 0)
+            if hasattr(nerf_cfg, "get_path") else 0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Plane-projection rotations (host-side, fixed)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def make_rot_mats(num_planes: int, seed: int = 0) -> np.ndarray:
+    """[P,3,3] orthonormal projection bases.
+
+    For P<=3: standard-basis column permutations (identity, swap xy,
+    cycle) matching reference models.py:476-478 so plane d projects
+    coords onto columns 1:3 of rot_mats[d]:
+      d=0 -> (y,z); d=1 -> (x,z); d=2 -> (x,y).
+    For P>3: farthest-point-sampled random unit normals completed to an
+    orthonormal basis by QR (reference models.py:480-490).
+    """
+    if num_planes <= 3:
+        base = np.eye(3, dtype=np.float32)
+        mats = [base, base[:, [1, 0, 2]], base[:, [2, 0, 1]]]
+        return np.stack(mats[:num_planes])
+
+    n_trials = 10000
+    rng = np.random.default_rng(seed)
+    axes = rng.uniform(-1, 1, size=[n_trials, num_planes, 3])
+    axes /= np.sqrt(np.sum(axes ** 2, 2, keepdims=True))
+    axes = np.concatenate([axes, -axes], 1)
+    # pick the trial maximizing the summed nearest-neighbor separation
+    d2 = np.sum((axes[..., None, :] - np.expand_dims(axes, 1)) ** 2, -1)
+    score = np.sum(np.sort(d2, 1)[:, 1, ...], -1)
+    chosen = axes[np.argmax(score)][:num_planes]
+    mats = []
+    for norm in chosen:
+        rank = 0
+        while rank != 3:
+            mat = np.concatenate([norm[:, None], rng.uniform(size=[3, 2])], 1)
+            rank = np.linalg.matrix_rank(mat)
+        mats.append(np.linalg.qr(mat)[0])
+    return np.stack(mats).astype(np.float32)
+
+
+def project_to_planes(coords, rot_mats):
+    """[N,3] coords -> [P,N,2] per-plane 2-D projections.
+
+    grid[..., 0] indexes plane width, grid[..., 1] height — matching the
+    reference's grid_sample grid layout (models.py:295,303-309).
+    Projection uses columns 1:3 of each rotation (models.py:495-497);
+    gradients do not flow through the rotation (it is non-learned).
+    """
+    rot = jax.lax.stop_gradient(jnp.asarray(rot_mats, dtype=coords.dtype))
+    return jnp.einsum("nc,pck->pnk", coords, rot[:, :, 1:])
+
+
+# ---------------------------------------------------------------------------
+# Decoder parameters
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound),
+    }
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def init_decoder_params(key, cfg: TriplaneConfig, dtype=jnp.float32):
+    """Parameter pytree for one scene-shared decoder.
+
+    Layout:
+      {'members': [  # ensemble copies (reference models.py:169-195)
+          {'density': [lin...], 'fc_alpha': lin, 'fc_feat': lin?,
+           'rgb': [lin...], 'fc_rgb': lin}, ...]}
+    """
+    members = []
+    for _ in range(cfg.ensemble_size):
+        key, *ks = jax.random.split(key, 6)
+        m: dict[str, Any] = {}
+        # density branch
+        layers = []
+        k = ks[0]
+        in_ch = cfg.density_in_channels
+        k, sub = jax.random.split(k)
+        layers.append(_init_linear(sub, in_ch, cfg.dec_channels, dtype))
+        for layer_num in range(cfg.dec_density_layers - 1):
+            k, sub = jax.random.split(k)
+            if cfg.is_skip_layer(layer_num):
+                layers.append(_init_linear(sub, in_ch + cfg.dec_channels,
+                                           cfg.dec_channels, dtype))
+            else:
+                layers.append(_init_linear(sub, cfg.dec_channels,
+                                           cfg.dec_channels, dtype))
+        m["density"] = layers
+        m["fc_alpha"] = _init_linear(ks[1], cfg.dec_channels, 1, dtype)
+        if "features" in cfg.rgb_dec_input:
+            m["fc_feat"] = _init_linear(ks[2], cfg.dec_channels,
+                                        cfg.num_plane_channels, dtype)
+        # rgb branch
+        layers = []
+        k = ks[3]
+        in_ch = cfg.rgb_in_channels
+        k, sub = jax.random.split(k)
+        layers.append(_init_linear(sub, in_ch, cfg.dec_channels, dtype))
+        for layer_num in range(cfg.dec_rgb_layers - 1):
+            k, sub = jax.random.split(k)
+            if cfg.is_skip_layer(layer_num):
+                layers.append(_init_linear(sub, in_ch + cfg.dec_channels,
+                                           cfg.dec_channels, dtype))
+            else:
+                layers.append(_init_linear(sub, cfg.dec_channels,
+                                           cfg.dec_channels, dtype))
+        m["rgb"] = layers
+        m["fc_rgb"] = _init_linear(ks[4], cfg.dec_channels, 3, dtype)
+        members.append(m)
+    return {"members": members}
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+def combine_pos_planes(projs, combination: str):
+    """[P,N,C] -> combined features (reference models.py:355-361)."""
+    if combination == "sum":
+        return jnp.sum(projs, axis=0)
+    if combination == "avg":
+        return jnp.mean(projs, axis=0)
+    if combination == "concat":
+        # cat([p0, p1, ...], channel): plane-major channel grouping
+        p, n, c = projs.shape
+        return jnp.transpose(projs, (1, 0, 2)).reshape(n, p * c)
+    raise ValueError(combination)
+
+
+def combine_all_planes(pos_projs, viewdir_proj, cfg: TriplaneConfig):
+    """Merge positional and view-direction features
+    (reference models.py:363-379)."""
+    comb = cfg.viewdir_combination
+    if comb == "concat_pos":
+        p, n, c = pos_projs.shape
+        flat = jnp.transpose(pos_projs, (1, 0, 2)).reshape(n, p * c)
+        return jnp.concatenate([flat, viewdir_proj], axis=-1)
+
+    pos = combine_pos_planes(pos_projs, cfg.proj_combination)
+    pos_shape = pos.shape
+    view = viewdir_proj
+    if comb != "concat" and pos.shape[1] > view.shape[1]:
+        # broadcast the (smaller) viewdir features over channel groups
+        pos = pos.reshape(pos_shape[0], view.shape[1], -1)
+        view = view[..., None]
+    if comb == "sum":
+        return (pos + view).reshape(pos_shape)
+    if comb == "avg":
+        return ((pos + view) / 2).reshape(pos_shape)
+    if comb == "mult":
+        return (pos * (1 + view)).reshape(pos_shape)
+    if comb == "concat":
+        return jnp.concatenate([pos, view], axis=-1)
+    raise ValueError(comb)
+
+
+def _mlp_branch(layers, fc_out, x_in, cfg: TriplaneConfig):
+    """Shared density/rgb branch structure (reference models.py:395-419):
+    relu after every hidden layer, skip-concat of the branch input when
+    is_skip_layer(layer_num-1), linear head."""
+    x = x_in
+    for layer_num, p in enumerate(layers):
+        if cfg.is_skip_layer(layer_num - 1):
+            x = jnp.concatenate([x, x_in], axis=-1)
+        x = jax.nn.relu(_linear(p, x))
+    return x, _linear(fc_out, x)
+
+
+def sample_planes(planes_pos, grids, cfg: TriplaneConfig):
+    """Gather per-plane features: [P,C,R,R] planes at [P,N,2] -> [P,N,C]."""
+    return jax.vmap(
+        lambda pl, g: grid_sample_2d(pl, g, mode=cfg.plane_interp,
+                                     align_corners=cfg.align_corners)
+    )(planes_pos, grids)
+
+
+def apply_triplane(params, cfg: TriplaneConfig, planes_pos, plane_view, box,
+                   x, *, member: int = 0, noise_key=None,
+                   plane_resolution: Optional[int] = None, rot_mats=None):
+    """Full forward: [N, 3(+3)] raw points(+viewdirs) -> [N, 4] (rgb, sigma).
+
+    Args:
+      params: decoder pytree from init_decoder_params.
+      planes_pos: [P, C, R, R] positional feature planes (possibly
+        super-resolved upstream).
+      plane_view: [Cv, Rv, Rv] view-direction plane or None.
+      box: [2, 3+2*use_viewdirs] normalization box.
+      x: [N, 3] xyz, or [N, 6] xyz+unit-viewdir when cfg.use_viewdirs.
+      member: ensemble member index (host-chosen).
+      noise_key: PRNG key enabling train-time point-coordinate noise
+        (reference models.py:291-293); requires plane_resolution.
+
+    Mirrors reference models.py:381-421.
+    """
+    m = params["members"][member]
+    if cfg.use_viewdirs:
+        coords = jnp.concatenate([x[..., :3], cart2az_el(x[..., 3:])], -1)
+    else:
+        coords = x[..., :3]
+    coords = normalize_coords(coords, box)
+    xyz = coords[..., :3]
+    if noise_key is not None and cfg.point_coords_noise:
+        assert plane_resolution is not None
+        std = cfg.point_coords_noise * 2.0 / (1 + plane_resolution)
+        xyz = xyz + std * jax.random.normal(noise_key, xyz.shape, xyz.dtype)
+
+    rot = rot_mats if rot_mats is not None else make_rot_mats(cfg.num_planes)
+    grids = project_to_planes(xyz, rot)              # [P,N,2]
+    pos_projs = sample_planes(planes_pos, grids, cfg)  # [P,N,C]
+
+    if cfg.use_viewdirs:
+        view_grid = coords[..., 3:]
+        view_proj = grid_sample_2d(plane_view, view_grid,
+                                   mode=cfg.plane_interp,
+                                   align_corners=cfg.align_corners)
+
+    projected_xyz = combine_pos_planes(pos_projs, cfg.proj_combination)
+    h, alpha = _mlp_branch(m["density"], m["fc_alpha"], projected_xyz, cfg)
+
+    if "features" in cfg.rgb_dec_input:
+        if cfg.rgb_dec_input == "projections_features":
+            raise NotImplementedError(
+                "projections_features is deprecated in the reference "
+                "(models.py:405-407)")
+        # 'features': the rgb branch consumes the density features
+        # (treated as a single-plane stack for viewdir combination).
+        rgb_src = _linear(m["fc_feat"], h)[None]     # [1,N,C]
+    else:
+        rgb_src = pos_projs
+    if cfg.use_viewdirs:
+        x_rgb_in = combine_all_planes(rgb_src, view_proj, cfg)
+    else:
+        x_rgb_in = combine_pos_planes(rgb_src, cfg.proj_combination)
+
+    _, rgb = _mlp_branch(m["rgb"], m["fc_rgb"], x_rgb_in, cfg)
+    return jnp.concatenate([rgb, alpha], axis=-1)
