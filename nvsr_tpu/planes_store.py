@@ -1,0 +1,336 @@
+"""Per-scene feature planes: init, out-of-core store, buffered optimizer.
+
+TPU-native redesign of the reference's `PlanesOptimizer`
+(reference models.py:499-765), split into:
+
+  * `ScenePlanes` — the per-scene state (positional plane stack,
+    view-direction plane, coordinate box) as a plain pytree;
+  * `PlaneStore` — the on-disk `.par`-equivalent (npz files named
+    `{model}_{scene_id}.planes` holding planes + Adam moments + box,
+    with the reference's atomic-write/backup semantics and search-path
+    hierarchy, models.py:612-627);
+  * `PlanesBuffer` — the resident working set: draws `buffer_size`
+    scenes every `steps_per_buffer` steps via `SceneSampler`, holds
+    their planes + optax Adam states in device memory, writes dirty
+    scenes back on redraw/save. Where the reference mutated a single
+    torch Adam's param_groups in place (models.py:719-725), each scene
+    simply owns its own optax state pytree — swapping is data movement,
+    not optimizer surgery.
+
+On TPU the buffer can usually hold every scene (HBM is the pool); the
+disk path remains for many-scene corpora and for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from nvsr_tpu.scenes import SceneSampler
+from nvsr_tpu.utils.io import load_npz, save_npz
+
+SUFFIX = "planes"
+
+
+@dataclass
+class ScenePlanes:
+    """Per-scene learnable state. planes_pos: [P, C, R, R];
+    plane_view: [Cv, Rv, Rv] or None; box: [2, 3+2*use_viewdirs]."""
+    planes_pos: jnp.ndarray
+    plane_view: Optional[jnp.ndarray]
+    box: np.ndarray
+
+    def params(self) -> dict:
+        p = {"pos": self.planes_pos}
+        if self.plane_view is not None:
+            p["view"] = self.plane_view
+        return p
+
+    def with_params(self, p: dict) -> "ScenePlanes":
+        return replace(self, planes_pos=p["pos"],
+                       plane_view=p.get("view", self.plane_view))
+
+
+def create_scene_planes(key, *, num_planes: int, num_channels: int,
+                        resolution, viewdir_resolution=None,
+                        viewdir_channels: int = 0, init_std: float,
+                        box, dtype=jnp.float32) -> ScenePlanes:
+    """Random-normal plane init with the decoder-tied STD
+    (reference create_plane, models.py:436-439; STD wiring
+    models.py:556-566: init_std = STD_factor * std(fc_alpha.W))."""
+    k1, k2 = jax.random.split(key)
+    if not isinstance(resolution, (tuple, list)):
+        resolution = (resolution, resolution)
+    planes_pos = init_std * jax.random.normal(
+        k1, (num_planes, num_channels, resolution[0], resolution[1]), dtype)
+    plane_view = None
+    if viewdir_channels:
+        if not isinstance(viewdir_resolution, (tuple, list)):
+            viewdir_resolution = (viewdir_resolution, viewdir_resolution)
+        plane_view = init_std * jax.random.normal(
+            k2, (viewdir_channels, viewdir_resolution[0],
+                 viewdir_resolution[1]), dtype)
+    return ScenePlanes(planes_pos, plane_view, np.asarray(box))
+
+
+def decoder_tied_init_std(decoder_params, std_factor: float = 0.1,
+                          member: int = 0) -> float:
+    """STD_factor x std(fc_alpha weight) (reference models.py:560)."""
+    w = decoder_params["members"][member]["fc_alpha"]["w"]
+    return float(std_factor * jnp.std(w))
+
+
+class PlaneStore:
+    """Disk store with the reference's search-path hierarchy:
+    [logdir/planes, models.planes_path/planes, pretrained/planes]
+    (reference train_nerf.py:565-579, models.py:612-627)."""
+
+    def __init__(self, save_locations, run_time_signature: float = 0):
+        if isinstance(save_locations, str):
+            save_locations = [save_locations]
+        self.save_locations = list(save_locations)
+        self.run_time_signature = run_time_signature
+
+    def path(self, scene: str, model_name: str = "coarse",
+             must_exist: bool = False, prefer_best: bool = False,
+             locations=None) -> str:
+        fname = f"{model_name}_{scene}.{SUFFIX}"
+        for loc in (locations or self.save_locations):
+            p = os.path.join(loc, fname)
+            if must_exist:
+                check = p.replace(f".{SUFFIX}", f".{SUFFIX}_best") \
+                    if prefer_best else p
+                if os.path.isfile(check):
+                    return p
+            elif os.path.isdir(loc):
+                return p
+        return ""
+
+    def exists(self, scene: str, prefer_best: bool = False) -> bool:
+        return bool(self.path(scene, must_exist=True,
+                              prefer_best=prefer_best))
+
+    def save(self, scene: str, planes: ScenePlanes, opt_state=None,
+             as_best: bool = False, model_name: str = "coarse") -> str:
+        arrays = {
+            "planes_pos": np.asarray(planes.planes_pos),
+            "box": np.asarray(planes.box),
+        }
+        if planes.plane_view is not None:
+            arrays["plane_view"] = np.asarray(planes.plane_view)
+        if opt_state is not None:
+            flat, _ = jax.tree.flatten(opt_state)
+            for i, leaf in enumerate(flat):
+                arrays[f"opt_{i}"] = np.asarray(leaf)
+        path = self.path(scene, model_name=model_name)
+        assert path, f"no writable store location for scene {scene}"
+        run_folder = os.path.dirname(path)
+        run_folder = run_folder[:-len("/planes")] \
+            if run_folder.endswith("/planes") else run_folder
+        return save_npz(path, arrays, suffix=SUFFIX, best=as_best,
+                        run_time_signature=self.run_time_signature,
+                        run_folder=run_folder)
+
+    def load(self, scene: str, prefer_best: bool = False,
+             model_name: str = "coarse", opt_state_template=None,
+             locations=None):
+        """Returns (ScenePlanes, opt_state|None)."""
+        path = self.path(scene, model_name=model_name, must_exist=True,
+                         prefer_best=prefer_best, locations=locations)
+        assert path, (
+            f"Could not find the required feature planes file for scene "
+            f"{scene} in {locations or self.save_locations}")
+        arrays = load_npz(path, suffix=SUFFIX, best=prefer_best)
+        planes = ScenePlanes(
+            jnp.asarray(arrays["planes_pos"]),
+            jnp.asarray(arrays["plane_view"])
+            if "plane_view" in arrays else None,
+            arrays["box"])
+        opt_state = None
+        if opt_state_template is not None:
+            flat, treedef = jax.tree.flatten(opt_state_template)
+            if all(f"opt_{i}" in arrays for i in range(len(flat))):
+                opt_state = jax.tree.unflatten(
+                    treedef,
+                    [jnp.asarray(arrays[f"opt_{i}"]).astype(l.dtype)
+                     if hasattr(l, "dtype") else arrays[f"opt_{i}"]
+                     for i, l in enumerate(flat)])
+        return planes, opt_state
+
+
+class PlanesBuffer:
+    """The resident scene working set + per-scene Adam optimizer.
+
+    Behavior parity with reference PlanesOptimizer (models.py:499-765):
+    buffer_size scenes resident; every steps_per_buffer steps the buffer
+    is flushed + redrawn (steps_per_buffer == -1 means the buffer covers
+    all scenes and is only reshuffled); save-on-cycle via the sampler's
+    reshuffle callback; frozen scenes never step or save; `save_params
+    (as_best=True)` snapshots every training scene.
+    """
+
+    def __init__(self, store: PlaneStore, training_scenes, *, lr: float,
+                 buffer_size: Optional[int] = None,
+                 steps_per_buffer: int = -1, optimize: bool = True,
+                 frozen_scenes=(), scene2saved: Optional[dict] = None,
+                 do_when_reshuffling: Callable = None,
+                 rng: np.random.Generator = None):
+        self.store = store
+        self.training_scenes = list(training_scenes)
+        self.scene2saved = scene2saved or {s: s for s in self.training_scenes}
+        self.frozen_scenes = set(frozen_scenes)
+        self.optimize = optimize
+        self.lr = lr
+        self.opt = optax.adam(lr, eps=1e-8)
+        self.buffer_size = buffer_size or len(self.training_scenes)
+        self.steps_per_buffer = steps_per_buffer
+        if self.buffer_size >= len(self.training_scenes):
+            self.buffer_size = len(self.training_scenes)
+            self.steps_per_buffer = -1
+        assert (self.steps_per_buffer == -1
+                or self.steps_per_buffer >= self.buffer_size), (
+            "steps_per_buffer < buffer_size would load scenes in vain "
+            "(reference models.py:534-535)")
+        self.sampler = SceneSampler(
+            self.training_scenes,
+            do_when_reshuffling=do_when_reshuffling,
+            frozen_scenes=list(self.frozen_scenes), rng=rng)
+        self.resident: dict[str, ScenePlanes] = {}
+        self.opt_states: dict = {}
+        self.dirty: set[str] = set()
+        self.steps_since_drawing = 0
+        self.cur_scenes: list[str] = []
+
+    # -- buffer management --------------------------------------------------
+    def _flush(self):
+        for scene in sorted(self.dirty):
+            self.store.save(scene, self.resident[scene],
+                            self.opt_states.get(scene))
+        self.dirty.clear()
+
+    def draw_scenes(self):
+        """Flush + load a fresh buffer (reference models.py:683-726)."""
+        self._flush()
+        self.steps_since_drawing = 0
+        self.cur_scenes = self.sampler.sample(
+            self.buffer_size, just_shuffle=self.steps_per_buffer == -1)
+        keep = {self.scene2saved[s] for s in self.cur_scenes}
+        for scene in list(self.resident):
+            if scene not in keep:
+                del self.resident[scene]
+                self.opt_states.pop(scene, None)
+        for scene in self.cur_scenes:
+            saved = self.scene2saved[scene]
+            if saved in self.resident:
+                continue
+            frozen = scene in self.frozen_scenes
+            planes, opt_state = self.store.load(
+                saved, prefer_best=frozen or not self.optimize,
+                opt_state_template=self._opt_template(saved))
+            self.resident[saved] = planes
+            if self.optimize and not frozen:
+                self.opt_states[saved] = (
+                    opt_state if opt_state is not None
+                    else self.opt.init(planes.params()))
+        return self.cur_scenes
+
+    def _opt_template(self, scene: str):
+        if not self.optimize:
+            return None
+        # shape-only template for opt-state reload
+        try:
+            planes, _ = self.store.load(scene, prefer_best=False)
+        except AssertionError:
+            return None
+        return self.opt.init(planes.params())
+
+    def get(self, scene: str) -> ScenePlanes:
+        return self.resident[self.scene2saved[scene]]
+
+    def load_scene(self, scene: str, load_best: bool = False) -> ScenePlanes:
+        """Single-scene load for evaluation (reference models.py:589-610)."""
+        self._flush()
+        saved = self.scene2saved[scene]
+        if saved not in self.resident:
+            planes, opt_state = self.store.load(
+                saved, prefer_best=load_best,
+                opt_state_template=self._opt_template(saved))
+            self.resident[saved] = planes
+            if self.optimize and scene not in self.frozen_scenes:
+                self.opt_states[saved] = (
+                    opt_state if opt_state is not None
+                    else self.opt.init(planes.params()))
+        return self.resident[saved]
+
+    # -- optimization -------------------------------------------------------
+    def apply_grads(self, scene: str, grads: dict):
+        """One Adam step on this scene's planes (no-op for frozen)."""
+        if not self.optimize or scene in self.frozen_scenes:
+            return
+        saved = self.scene2saved[scene]
+        planes = self.resident[saved]
+        params = planes.params()
+        updates, new_state = self.opt.update(grads, self.opt_states[saved],
+                                             params)
+        new_params = optax.apply_updates(params, updates)
+        self.resident[saved] = planes.with_params(new_params)
+        self.opt_states[saved] = new_state
+        self.dirty.add(saved)
+
+    def step_cadence(self):
+        """Advance the buffer clock; redraw when due. Returns the new
+        scene list (or None) like reference PlanesOptimizer.step
+        (models.py:728-743)."""
+        self.steps_since_drawing += 1
+        if self.steps_since_drawing == self.steps_per_buffer:
+            return self.draw_scenes()
+        return None
+
+    def save_params(self, as_best: bool = False):
+        """Write planes back to disk; as_best snapshots all training
+        scenes (reference models.py:640-670)."""
+        scenes = self.training_scenes if as_best else self.cur_scenes
+        saved_set = []
+        for sc in scenes:
+            if sc in self.frozen_scenes:
+                continue
+            saved = self.scene2saved[sc]
+            if saved in saved_set:
+                continue
+            saved_set.append(saved)
+            if saved in self.resident:
+                self.store.save(saved, self.resident[saved],
+                                self.opt_states.get(saved), as_best=as_best)
+            elif as_best and self.store.exists(saved):
+                planes, opt_state = self.store.load(
+                    saved, opt_state_template=self._opt_template(saved))
+                self.store.save(saved, planes, opt_state, as_best=True)
+        if not as_best:
+            self.dirty.clear()
+
+    # -- statistics ---------------------------------------------------------
+    def get_plane_stats(self, viewdir: bool = False) -> dict:
+        """Per-channel mean/std over the corpus planes, for SR input
+        normalization (reference models.py:629-638)."""
+        means, stds = [], []
+        for sc in self.training_scenes:
+            saved = self.scene2saved[sc]
+            if saved in self.resident:
+                planes = self.resident[saved]
+            else:
+                best = self.store.exists(saved, prefer_best=True)
+                planes, _ = self.store.load(saved, prefer_best=best)
+            pos = np.asarray(planes.planes_pos)  # [P,C,R,R]
+            means.extend(pos.mean(axis=(2, 3)))
+            stds.extend(pos.reshape(*pos.shape[:2], -1).std(axis=2))
+            if viewdir and planes.plane_view is not None:
+                pv = np.asarray(planes.plane_view)
+                means.append(pv.mean(axis=(1, 2)))
+                stds.append(pv.reshape(pv.shape[0], -1).std(axis=1))
+        return {"mean": np.stack(means).mean(0), "std": np.stack(stds).mean(0)}
