@@ -1,0 +1,222 @@
+"""Training step: one jitted value-and-grad over all module groups.
+
+TPU-native redesign of the reference's training closure
+(reference train_nerf.py:790-923). The reference runs a Python train()
+with three separate torch Adams plus per-iteration gating
+(`what2train`, module confinements, `separate_decoder_sr`, SR-only-on-
+HR-iterations, virtual batches). Here:
+
+  * ONE jitted `train_step` computes the loss and gradients for every
+    differentiable group (coarse decoder, fine decoder, SR net, the
+    scene's planes) in a single fused forward+backward;
+  * which groups actually step is decided host-side per iteration
+    (the same observable gating), applied through optax for decoder/SR
+    and through `PlanesBuffer.apply_grads` for planes;
+  * `detach_LR_planes` is a stop_gradient on the SR input
+    (reference models.py:272, train_nerf.py nerf.train.detach_LR_planes);
+  * virtual batches accumulate gradient pytrees host-side and step once
+    (reference train_nerf.py:612,791-792,848-852,907-916).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from nvsr_tpu.models.plane_sr import PlaneSRConfig, apply_plane_sr
+from nvsr_tpu.models.triplane import TriplaneConfig
+from nvsr_tpu.ops.rendering import img2mse, mse2psnr
+from nvsr_tpu.ops.resize import avg_downsample_pixels
+from nvsr_tpu.render import (
+    RayBundle,
+    RenderConfig,
+    make_triplane_point_fn,
+    render_rays,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFlags:
+    """Static per-iteration switches (hashable jit keys)."""
+    sr_iter: bool = False              # is this view rendered through SR
+    consistency_iter: bool = False     # image-inconsistency patch iteration
+    detach_lr_planes: bool = False
+    apply_sr_to_coarse: bool = False
+    compute_coarse_loss: bool = True
+    compute_fine_loss: bool = True
+    rendering_loss_w: float = 1.0
+    im_inconsistency_loss_w: float = 0.0
+    ds_factor: int = 1                 # coupling ds factor (patch size)
+    share_coarse_fine: bool = False    # models.fine.type == use_same
+    member: int = 0                    # ensemble member for this step
+
+
+def _loss_weight(flags: StepFlags) -> float:
+    return (flags.im_inconsistency_loss_w if flags.consistency_iter
+            else flags.rendering_loss_w)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "sr_cfg", "rcfg", "flags"))
+def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
+               rays: RayBundle, target, key, *, model_cfg: TriplaneConfig,
+               sr_cfg: Optional[PlaneSRConfig], rcfg: RenderConfig,
+               flags: StepFlags):
+    """Fused forward+backward for one ray batch.
+
+    Args:
+      decoder_coarse/decoder_fine: decoder pytrees (fine may equal coarse
+        structurally when share_coarse_fine; it is ignored then).
+      sr_params: plane-SR pytree or None.
+      plane_params: {'pos': [P,C,R,R], 'view': [Cv,Rv,Rv]?} raw planes.
+      box: [2, D] normalization box.
+      rays: flat RayBundle of the selected training rays.
+      target: [R_out, 3] pixel targets (for consistency iterations,
+        R_out = rays/ds^2).
+      key: PRNG key for this step.
+
+    Returns:
+      (metrics dict, grads dict matching the differentiable inputs).
+    """
+    diff = {"planes": plane_params}
+    if flags.share_coarse_fine:
+        diff["dc"] = decoder_coarse
+    else:
+        diff["dc"] = decoder_coarse
+        diff["df"] = decoder_fine
+    if sr_params is not None:
+        diff["sr"] = sr_params
+
+    def loss_fn(diff):
+        planes_pos = diff["planes"]["pos"]
+        plane_view = diff["planes"].get("view")
+        dc = diff["dc"]
+        df = diff["dc"] if flags.share_coarse_fine else diff["df"]
+
+        k_sr, k_render = jax.random.split(key)
+        fine_planes = planes_pos
+        coarse_planes = planes_pos
+        if flags.sr_iter and sr_params is not None:
+            sr_in = planes_pos
+            if flags.detach_lr_planes:
+                sr_in = jax.lax.stop_gradient(sr_in)
+            sr_out = apply_plane_sr(diff["sr"], sr_cfg, sr_in, train=True,
+                                    noise_key=k_sr)
+            fine_planes = sr_out
+            if flags.apply_sr_to_coarse:
+                coarse_planes = sr_out
+
+        pf_coarse = make_triplane_point_fn(dc, model_cfg, coarse_planes,
+                                           plane_view, box,
+                                           member=flags.member)
+        pf_fine = make_triplane_point_fn(df, model_cfg, fine_planes,
+                                         plane_view, box, member=flags.member)
+        out = render_rays(pf_coarse, pf_fine, rays, k_render, rcfg)
+
+        rgb_coarse = out.coarse.rgb
+        rgb_fine = out.fine.rgb if out.fine is not None else None
+        if flags.consistency_iter:
+            rgb_coarse = avg_downsample_pixels(rgb_coarse, flags.ds_factor)
+            if rgb_fine is not None:
+                rgb_fine = avg_downsample_pixels(rgb_fine, flags.ds_factor)
+
+        coarse_loss = jnp.float32(0.0)
+        fine_loss = jnp.float32(0.0)
+        if flags.compute_coarse_loss:
+            coarse_loss = img2mse(rgb_coarse, target[..., :3])
+        if flags.compute_fine_loss and rgb_fine is not None:
+            fine_loss = img2mse(rgb_fine, target[..., :3])
+        rendering_loss = coarse_loss + fine_loss
+        total = _loss_weight(flags) * rendering_loss
+        aux = {
+            "loss": rendering_loss,
+            "coarse_loss": coarse_loss,
+            "fine_loss": fine_loss,
+            "psnr": mse2psnr(rendering_loss),
+            "fine_psnr": mse2psnr(fine_loss),
+        }
+        return total, aux
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)
+    return metrics, grads
+
+
+# ---------------------------------------------------------------------------
+# Host-side trainer: optimizers, gating, virtual batches
+# ---------------------------------------------------------------------------
+
+class ModuleOptimizer:
+    """A single optax Adam over a params pytree with host-side gating."""
+
+    def __init__(self, params, lr: float):
+        self.opt = optax.adam(lr, eps=1e-8)
+        self.params = params
+        self.state = self.opt.init(params)
+        self._accum = None
+        self._accum_count = 0
+
+    def accumulate(self, grads):
+        if self._accum is None:
+            self._accum = grads
+        else:
+            self._accum = jax.tree.map(jnp.add, self._accum, grads)
+        self._accum_count += 1
+
+    def zero(self):
+        self._accum = None
+        self._accum_count = 0
+
+    def step(self):
+        """Apply accumulated grads (summed, like torch backward accum)."""
+        if self._accum is None:
+            return
+        updates, self.state = self.opt.update(self._accum, self.state,
+                                              self.params)
+        self.params = optax.apply_updates(self.params, updates)
+        self.zero()
+
+
+def select_random_rays(rng: np.random.Generator, image, ray_origins,
+                       ray_directions, num_rays: int):
+    """Random ray subset for a training iteration
+    (reference train_nerf.py:838-845). Host-side numpy selection.
+
+    Returns (ro [N,3], rd [N,3], target [N,C]).
+    """
+    h, w = image.shape[:2]
+    n = min(h * w, num_rays)
+    idx = rng.choice(h * w, size=n, replace=False)
+    rows, cols = idx // w, idx % w
+    target = image[rows, cols]
+    return (np.asarray(ray_origins)[rows, cols],
+            np.asarray(ray_directions)[rows, cols], target)
+
+
+def select_patch_rays(rng: np.random.Generator, lr_image, ray_origins,
+                      ray_directions, num_rays: int, ds_factor: int):
+    """Patch-aligned ray blocks for consistency iterations
+    (reference train_nerf.py:827-837): draw LR pixels, render the
+    corresponding ds x ds HR patches (patch-major ray order).
+
+    ray_origins/directions are the HR-resolution maps.
+
+    Returns (ro [N*ds^2, 3], rd [N*ds^2, 3], target [N, C]).
+    """
+    lh, lw = lr_image.shape[:2]
+    n = min(lh * lw, num_rays // (ds_factor ** 2))
+    idx = rng.choice(lh * lw, size=n, replace=False)
+    rows, cols = idx // lw, idx % lw
+    target = lr_image[rows, cols]
+    hr_rows = (rows[:, None, None] * ds_factor
+               + np.arange(ds_factor)[None, :, None])
+    hr_cols = (cols[:, None, None] * ds_factor
+               + np.arange(ds_factor)[None, None, :])
+    hr_rows = np.broadcast_to(hr_rows, (n, ds_factor, ds_factor)).reshape(-1)
+    hr_cols = np.broadcast_to(hr_cols, (n, ds_factor, ds_factor)).reshape(-1)
+    return (np.asarray(ray_origins)[hr_rows, hr_cols],
+            np.asarray(ray_directions)[hr_rows, hr_cols], target)
