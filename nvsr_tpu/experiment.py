@@ -1,0 +1,1157 @@
+"""The experiment driver: stage orchestration, train/eval loops, policy.
+
+TPU-native redesign of the reference's monolithic `train_nerf.py:21-1029`.
+The observable behavior is preserved — the four shipped workflows
+(TrainModels / Feature_Planes_Only / RefineOnTestScene / MipNeRF_baseline),
+eval tagging and best-model policy, checkpoint layout and cadences,
+preemption, early stopping — while the compute path runs through the
+fused jitted pipeline (nvsr_tpu.render / nvsr_tpu.train).
+
+Checkpoints are pickled numpy pytrees written with the reference's
+atomic-save semantics:
+  checkpoint{iter:05d}.ckpt / SR_checkpoint{iter:05d}.ckpt (rolling),
+  checkpoint.ckpt_best / SR_checkpoint.ckpt_best, exp_info.pkl,
+  planes/{coarse}_{scene}.planes(_best)  (reference §5.4 in SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from collections import OrderedDict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvsr_tpu.data.dataset import MultiSceneDataset
+from nvsr_tpu.models.nerf_mlp import (NeRFMLPConfig, apply_nerf_mlp,
+                                      init_nerf_mlp_params)
+from nvsr_tpu.models.plane_sr import (PlaneSRConfig, apply_plane_sr,
+                                      init_plane_sr_params,
+                                      sr_scale_factor)
+from nvsr_tpu.models.triplane import (TriplaneConfig, init_decoder_params,
+                                      make_rot_mats)
+from nvsr_tpu.ops.geometry import get_ray_bundle
+from nvsr_tpu.ops.rendering import img2mse, mse2psnr
+from nvsr_tpu.ops.resize import image_inconsistency_loss
+from nvsr_tpu.planes_store import (PlaneStore, PlanesBuffer,
+                                   create_scene_planes,
+                                   decoder_tied_init_std)
+from nvsr_tpu.render import (RenderConfig, make_baseline_point_fn,
+                             make_ray_bundle, make_triplane_point_fn,
+                             render_image)
+from nvsr_tpu.scenes import (Counter, ImageSampler, SceneCoupler,
+                             get_scene_configs, subsample_eval_scenes)
+from nvsr_tpu.train import (ModuleOptimizer, StepFlags, select_patch_rays,
+                            select_random_rays, train_step,
+                            train_step_baseline)
+from nvsr_tpu.utils.config import (CfgNode, assert_compatible_model_config,
+                                   get_config)
+from nvsr_tpu.utils.io import load_pickle, save_pickle
+from nvsr_tpu.utils.logging import ExperimentLogger, RunningScores
+
+RUNNING_MEAN_LOGS = ["psnr", "SR_psnr_gain", "planes_SR", "fine_loss",
+                     "fine_psnr", "loss", "coarse_loss", "inconsistency",
+                     "loss_sr", "loss_lr", "im_inconsistency"]
+
+
+def downsampling_offset(ds_factor) -> float:
+    """Sub-pixel ray offset matching image downsampling
+    (reference train_nerf.py:610)."""
+    return (ds_factor - 1) / (2 * ds_factor)
+
+
+def find_latest_checkpoint(ckpt_path: str, sr: bool,
+                           find_best: bool = False):
+    """reference train_utils.py:333-345."""
+    if ckpt_path is None or not os.path.isdir(ckpt_path):
+        return None
+    prefix = "SR_checkpoint" if sr else "checkpoint"
+    if find_best:
+        pattern = "^" + prefix + r"(\d)*\.ckpt_best"
+        cands = [f for f in os.listdir(ckpt_path) if re.search(pattern, f)]
+        if not cands:
+            return None
+        return os.path.join(ckpt_path, cands[0])
+    pattern = "(?<=^" + prefix + r")(\d)+(?=\.ckpt$)"
+    cands = [f for f in os.listdir(ckpt_path) if re.search(pattern, f)]
+    if not cands:
+        return None
+    latest = sorted(cands, key=lambda x: int(re.search(pattern, x).group(0)))
+    return os.path.join(ckpt_path, latest[-1])
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def _to_jnp(tree):
+    return jax.tree.map(jnp.asarray, tree)
+
+
+class Experiment:
+    """Builds the full system for one config and runs train/eval."""
+
+    def __init__(self, cfg: CfgNode, *, load_checkpoint: str = "",
+                 eval_mode: str = None, results_path: str = None,
+                 root_path: str = ""):
+        self.cfg = cfg
+        self.eval_mode = eval_mode
+        self.root_path = root_path
+        experiment_id = cfg.experiment.get(
+            "id", cfg.experiment["logdir"].split("/")[-1])
+        self.experiment_id = experiment_id
+        cfg.dataset["root_path"] = root_path
+
+        self.planes_model = ("coarse" not in cfg.get("models", {})
+                             or cfg.models.coarse.get("type")
+                             == "TwoDimPlanesModel")
+        self.what2train = list(cfg.get_path("nerf.train.what", []))
+        assert all(m in ("LR_planes", "decoder", "SR")
+                   for m in self.what2train)
+        self.decoder_training = "decoder" in self.what2train
+        self.im_inconsistency_loss_w = cfg.get_path(
+            "nerf.train.im_inconsistency_loss_w", None)
+
+        # --- logdir / resume policy (reference train_nerf.py:79-95) ----
+        self.logdir = os.path.join(root_path, cfg.experiment["logdir"],
+                                   cfg.experiment.get("id", ""))
+        self.results_dir = None
+        if eval_mode:
+            self.results_dir = os.path.join(root_path, results_path or ".",
+                                            experiment_id)
+            os.makedirs(self.results_dir, exist_ok=True)
+        if load_checkpoint == "resume":
+            load_checkpoint = self.logdir
+        elif load_checkpoint == "":
+            if os.path.exists(self.logdir) and not eval_mode:
+                assert not [f for f in os.listdir(self.logdir)
+                            if ".ckpt" in f], (
+                    f"Folder {self.logdir} already contains saved models.")
+            os.makedirs(self.logdir, exist_ok=True)
+        if not eval_mode or load_checkpoint == "":
+            with open(os.path.join(
+                    self.logdir,
+                    "config%s.yml" % ("_Eval" if eval_mode else "")),
+                    "w") as f:
+                f.write(cfg.dump())
+        self.resume_experiment = (load_checkpoint != ""
+                                  and os.path.exists(load_checkpoint))
+        if load_checkpoint != "":
+            assert self.resume_experiment, (
+                f"Experiment to resume not found in {load_checkpoint}")
+        self.load_checkpoint = load_checkpoint
+
+        # --- pretrained model inheritance (train_nerf.py:97-109) -------
+        self.pretrained_model_folder = cfg.get_path("models.path", None)
+        if self.pretrained_model_folder is not None:
+            self.pretrained_model_folder = os.path.join(
+                root_path, self.pretrained_model_folder)
+        pretrained_cfg = None
+        if self.planes_model and (not self.decoder_training
+                                  or self.pretrained_model_folder):
+            if self.pretrained_model_folder and os.path.isfile(
+                    self.pretrained_model_folder):
+                self.pretrained_model_folder = os.path.dirname(
+                    self.pretrained_model_folder)
+            if self.pretrained_model_folder:
+                pretrained_cfg = get_config(os.path.join(
+                    self.pretrained_model_folder, "config.yml"))
+                cfg.models.set_defaults_from(pretrained_cfg.models)
+        self.pretrained_cfg = pretrained_cfg
+
+        load_saved_models = (self.pretrained_model_folder is not None
+                             or self.resume_experiment)
+        only_planes_update = self.what2train == ["LR_planes"]
+        self.init_new_scenes = (not self.resume_experiment
+                                and not eval_mode
+                                and "LR_planes" in self.what2train
+                                and (self.pretrained_model_folder is None
+                                     or only_planes_update))
+        self.sr_experiment = ("super_resolution" in cfg
+                              or (only_planes_update and pretrained_cfg
+                                  and "super_resolution" in pretrained_cfg))
+
+        # --- dataset (train_nerf.py:111-124) ----------------------------
+        self.dataset = MultiSceneDataset(
+            cfg.dataset, eval_mode=bool(eval_mode),
+            scene_norm_coords=cfg.nerf if self.init_new_scenes else None,
+            planes_logdir=cfg.get_path("models.planes_path", self.logdir))
+        ds = self.dataset
+        self.i_train = ds.i_train
+        self.i_val = ds.i_val
+        coords_normalization = dict(ds.coords_normalization)
+        scene_id_plane_resolution = dict(ds.scene_id_plane_resolution)
+        available_scenes = list(ds.scenes_set)
+        self.planes_updating = "LR_planes" in self.what2train
+
+        # --- scene coupler (train_nerf.py:126-135) ----------------------
+        if self.planes_model and (not self.planes_updating
+                                  or self.pretrained_model_folder) \
+                and pretrained_cfg is not None:
+            for spec in get_scene_configs(
+                    {k: v for p in pretrained_cfg.dataset["dir"].values()
+                     for k, v in dict(p).items()}):
+                available_scenes.append(spec.scene_id)
+            available_scenes = list(set(available_scenes))
+        self.scene_coupler = SceneCoupler(
+            list(set(available_scenes + ds.val_only_scene_ids)),
+            planes_res="".join(m[:2] for m in self.what2train
+                               if "_planes" in m),
+            num_pos_planes=(cfg.get_path("models.coarse.num_planes", 3)
+                            if self.planes_model else 0),
+            training_scenes=list(self.i_train.keys()))
+
+        # --- eval tagging (train_nerf.py:137-161) -----------------------
+        only_lr_eval = (len(self.scene_coupler.downsample_couples) == 0
+                        and self.sr_experiment)
+        self.only_lr_eval = only_lr_eval
+
+        def tags_for(scene_id):
+            bare = scene_id.replace("_train", "")
+            tags = []
+            if scene_id in ds.val_only_scene_ids:
+                tags.append("blind_validation")
+            elif "_train" in scene_id:
+                tags.append("train_imgs")
+            else:
+                tags.append("validation")
+            if "##Gauss" in bare:
+                tags.append("Gauss")
+            if (bare in self.scene_coupler.downsample_couples.values()
+                    or only_lr_eval):
+                tags.append("LR")
+            if len(ds.module_confinements.get(bare, [])) > 0:
+                tags.append("Fixed_" + "_".join(
+                    ds.module_confinements[bare]))
+            if ds.scene_types.get(bare) == "llff":
+                tags.append("real")
+            return "_".join(tags)
+
+        val_strings = [tags_for(sid) for sid in self.i_val]
+        if "max_scenes_eval" in cfg.dataset and not eval_mode:
+            keep = subsample_eval_scenes(cfg.dataset["max_scenes_eval"],
+                                         val_strings, pick_first=True)
+            self.i_val = OrderedDict(
+                [it for i, it in enumerate(self.i_val.items()) if i in keep])
+
+        self.val_ims_per_scene = None
+        if not eval_mode:
+            counts = [len(v) for v in self.i_val.values()]
+            assert all(max(counts) % c == 0 for c in counts), (
+                "eval sets must repeat to a common length")
+            self.val_ims_per_scene = max(counts)
+            self.i_val = OrderedDict(
+                [(k, (self.val_ims_per_scene // len(v)) * list(v))
+                 for k, v in self.i_val.items()])
+
+        # eval_train_scenes (train_nerf.py:163-169)
+        if (cfg.get_path("nerf.validation.eval_train_scenes", False)
+                and not eval_mode):
+            for sid in list(self.i_val.keys()):
+                if sid not in self.i_train:
+                    continue
+                n = self.val_ims_per_scene
+                tr = self.i_train[sid]
+                im_freq = len(tr) // n
+                picks = sorted((i + im_freq // 2) % len(tr)
+                               for i in np.unique(np.round(
+                                   np.linspace(0, len(tr) - 1, n))
+                                   .astype(int)))
+                self.i_val[sid + "_train"] = [tr[i] for i in picks]
+
+        # consistency-loss scenes join training (train_nerf.py:171-176)
+        if not eval_mode and self.im_inconsistency_loss_w:
+            for sid in ds.val_only_scene_ids:
+                lr = self.scene_coupler.downsample_couples[sid]
+                self.i_train[sid] = self.i_train[lr]
+                freq = cfg.get_path("nerf.train.im_consistency_iters_freq",
+                                    0.1)
+                ds.scene_probs[sid] = freq / (
+                    len(ds.val_only_scene_ids)
+                    if cfg.dataset.get("prob_assigned2scene_groups", True)
+                    else 1)
+                self.scene_coupler.upsample_couples[lr] = sid
+        self.training_scenes = list(self.i_train.keys())
+
+        # unify coord normalization across couples (train_nerf.py:180-196)
+        if self.sr_experiment:
+            for sc in list(ds.scenes_set):
+                if sc not in self.scene_coupler.downsample_couples:
+                    continue
+                lr_sc = self.scene_coupler.downsample_couples[sc]
+                if (self.init_new_scenes and sc in coords_normalization
+                        and lr_sc in coords_normalization):
+                    if ds.scene_types.get(sc) == "llff":
+                        both = np.stack([coords_normalization[sc],
+                                         coords_normalization[lr_sc]], -1)
+                        merged = np.stack([both[0].min(-1), both[1].max(-1)],
+                                          0)
+                        coords_normalization[sc] = merged
+                        coords_normalization[lr_sc] = merged.copy()
+                    else:
+                        coords_normalization[sc] = \
+                            coords_normalization[lr_sc].copy()
+                if sc in scene_id_plane_resolution:
+                    hr_res = scene_id_plane_resolution.pop(sc)
+                    if self.pretrained_model_folder is not None:
+                        scene_id_plane_resolution[lr_sc] = (
+                            hr_res[0] // self.scene_coupler.ds_factor,
+                            hr_res[1])
+        self.coords_normalization = coords_normalization
+        self.scene_id_plane_resolution = scene_id_plane_resolution
+
+        self.evaluation_sequences = list(self.i_val.keys())
+        self.val_strings = [tags_for(s) for s in self.evaluation_sequences]
+
+        # best-model policy (train_nerf.py:215-224)
+        self.loss4best = ("im_inconsistency" if self.im_inconsistency_loss_w
+                          else "fine_loss"
+                          if all(v not in self.what2train
+                                 for v in ("decoder", "SR")) else "loss")
+
+        def tag_filter(tags, include=(), exclude=()):
+            return list({t for t in tags
+                         if all(p in t for p in include)
+                         and all(p not in t for p in exclude)})
+
+        if self.im_inconsistency_loss_w:
+            self.loss_groups4_best = tag_filter(
+                self.val_strings, ["blind", "validation"], ["_LR"])
+        else:
+            self.loss_groups4_best = tag_filter(
+                self.val_strings, ["validation"], ["blind", "_LR"])
+            if not self.loss_groups4_best:
+                self.loss_groups4_best = tag_filter(
+                    self.val_strings, ["validation"], ["blind"])
+
+        # --- RNG (train_nerf.py:278-281) --------------------------------
+        seed = cfg.experiment.get("randomseed", 0)
+        self.host_rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        # one run signature shared by checkpoints and the plane store
+        # (reference train_nerf.py:563)
+        self.run_time_signature = time.time()
+
+        # --- models ------------------------------------------------------
+        self._build_models()
+        self._build_sr()
+        self._build_optimizers()
+        if load_saved_models:
+            self._load_checkpoints()
+        self._build_planes()
+
+        # SR input normalization from corpus stats (train_nerf.py:606-608)
+        if (self.sr_experiment and self.sr_params is not None
+                and cfg.get_path("super_resolution.input_normalization",
+                                 False)
+                and not self.resume_experiment and "norm" in self.sr_params):
+            stats = self.planes_buffer.get_plane_stats(
+                viewdir=cfg.get_path("super_resolution.SR_viewdir", False))
+            self.sr_params["norm"] = {
+                "mean": jnp.asarray(stats["mean"]),
+                "std": jnp.asarray(stats["std"])}
+            self.sr_opt.params = self.sr_params
+
+        # --- samplers / logging / experiment info ------------------------
+        self.image_sampler = ImageSampler(self.i_train, ds.scene_probs,
+                                          rng=self.host_rng)
+        self.scenes_cycle_counter = Counter()
+        groups = list(set(self.val_strings)) + ["train"]
+        maxlens = {g: (len(self.training_scenes) if g == "train"
+                       else (self.val_ims_per_scene or 1)) for g in groups}
+        self.running = RunningScores(RUNNING_MEAN_LOGS, groups, maxlens)
+        self.logger = ExperimentLogger(
+            logdir=self.logdir, results_dir=self.results_dir,
+            eval_mode=eval_mode, running=self.running,
+            skip_metrics=bool(cfg.get_path("dataset.llff.min_eval_frames")))
+        self.logger.set_eval_sequences(self.evaluation_sequences)
+        self.experiment_info = {
+            "start_i": 0, "eval_counter": 0,
+            "best_loss": (0, float(np.finfo(np.float32).max)),
+            "last_saved": {m: [] for m in self._models_to_save()}}
+        self.experiment_info_file = os.path.join(self.logdir, "exp_info.pkl")
+        if self.resume_experiment and not eval_mode and os.path.exists(
+                self.experiment_info_file):
+            saved = load_pickle(self.experiment_info_file)
+            self.experiment_info.update(saved)
+        self.saved_rgb_fine = {s: {} for s in self.evaluation_sequences}
+        self.saved_target_ims = {v: set() for v in set(self.val_strings)}
+        self.virtual_batch_size = cfg.get_path(
+            "nerf.train.virtual_batch_size", 1)
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+    def _models_to_save(self):
+        if not self.planes_model:
+            return ["decoder"]
+        out = []
+        if "decoder" in self.what2train:
+            out.append("decoder")
+        if (self.sr_experiment and "SR" in self.what2train
+                and getattr(self, "sr_params", None) is not None):
+            out.append("SR")
+        return out
+
+    def _build_models(self):
+        cfg = self.cfg
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        if self.planes_model:
+            self.model_cfg = TriplaneConfig.from_cfg(cfg.models.coarse,
+                                                     cfg.nerf)
+            self.rot_mats = make_rot_mats(self.model_cfg.num_planes)
+            self.decoder_coarse = init_decoder_params(k1, self.model_cfg)
+            fine_cfg = cfg.models.get("fine", CfgNode())
+            self.share_coarse_fine = fine_cfg.get("type") == "use_same"
+            if self.share_coarse_fine:
+                self.decoder_fine = None
+            else:
+                merged = fine_cfg.clone()
+                merged.set_defaults_from(cfg.models.coarse)
+                self.decoder_fine = init_decoder_params(k2, self.model_cfg)
+            self.mlp_cfg = None
+            self.enc_cfg = None
+        else:
+            mc = cfg.models.coarse
+            mip = cfg.nerf.get("encode_position_fn") == "mip"
+            include_xyz = mc.get("include_input_xyz", True)
+            if mip and include_xyz:
+                include_xyz = False  # mip drops raw xyz (train_nerf.py:338)
+            multires = mc.get("num_encoding_fn_xyz", 6) + 1
+            if mip:
+                dim_xyz = 3 * 2 * (multires - 1)
+                dim_dir = ((3 if mc.get("include_input_dir", True) else 0)
+                           + 2 * 3 * mc.get("num_encoding_fn_dir", 4))
+                self.mlp_cfg = NeRFMLPConfig(
+                    num_layers=mc.get("num_layers", 4),
+                    hidden_size=mc.get("hidden_size", 128),
+                    skip_connect_every=mc.get("skip_connect_every", 4),
+                    use_viewdirs=cfg.nerf.get("use_viewdirs", True),
+                    input_dim_xyz=dim_xyz, input_dim_dir=dim_dir)
+            else:
+                self.mlp_cfg = NeRFMLPConfig(
+                    num_layers=mc.get("num_layers", 4),
+                    hidden_size=mc.get("hidden_size", 128),
+                    skip_connect_every=mc.get("skip_connect_every", 4),
+                    num_encoding_fn_xyz=mc.get("num_encoding_fn_xyz", 6),
+                    num_encoding_fn_dir=mc.get("num_encoding_fn_dir", 4),
+                    include_input_xyz=include_xyz,
+                    include_input_dir=mc.get("include_input_dir", True),
+                    use_viewdirs=cfg.nerf.get("use_viewdirs", True))
+            self.enc_cfg = (mc.get("num_encoding_fn_xyz", 6),
+                            mc.get("num_encoding_fn_dir", 4),
+                            include_xyz, mc.get("include_input_dir", True),
+                            mip, 1, multires)
+            self.decoder_coarse = init_nerf_mlp_params(k1, self.mlp_cfg)
+            fine_cfg = cfg.models.get("fine", CfgNode())
+            self.share_coarse_fine = fine_cfg.get("type") == "use_same"
+            self.decoder_fine = (None if self.share_coarse_fine
+                                 else init_nerf_mlp_params(k2, self.mlp_cfg))
+            self.model_cfg = None
+            self.rot_mats = None
+
+    def _build_sr(self):
+        cfg = self.cfg
+        self.sr_params = None
+        self.sr_cfg = None
+        self.sr_checkpoint_source = None
+        if not self.sr_experiment or not self.planes_model:
+            return
+        sr_section = cfg.get("super_resolution", CfgNode())
+        if "SR" not in self.what2train and self.pretrained_model_folder \
+                and self.pretrained_cfg is not None \
+                and "super_resolution" in self.pretrained_cfg:
+            sr_section = sr_section.clone() if sr_section else CfgNode()
+            sr_section.set_defaults_from(
+                self.pretrained_cfg["super_resolution"])
+            cfg["super_resolution"] = sr_section
+        if sr_section.get_path("model.type", "EDSR") == "None":
+            return
+        factor = sr_scale_factor(
+            sr_section.get_path("model.scale_factor", "linear"),
+            self.scene_coupler.ds_factor)
+        self.sr_cfg = PlaneSRConfig.from_cfg(
+            sr_section, factor,
+            self.model_cfg.num_plane_channels,
+            self.model_cfg.plane_interp, self.model_cfg.align_corners)
+        self.key, k = jax.random.split(self.key)
+        self.sr_params = init_plane_sr_params(k, self.sr_cfg)
+        self.rendering_loss_w = sr_section.get("rendering_loss", 1)
+        self.apply_sr_to_coarse = sr_section.get("apply_2_coarse", False)
+        if not self.apply_sr_to_coarse:
+            assert sr_section.get_path("training.loss", "fine") == "fine", (
+                "coarse decoder output cannot train the SR model unless "
+                "SR applies to coarse planes")
+
+    def _build_optimizers(self):
+        cfg = self.cfg
+        self.decoder_opt = None
+        self.sr_opt = None
+        if self.eval_mode:
+            return
+        if self.decoder_training or not self.planes_model:
+            params = {"dc": self.decoder_coarse}
+            if not self.share_coarse_fine and self.decoder_fine is not None:
+                params["df"] = self.decoder_fine
+            self.decoder_opt = ModuleOptimizer(
+                params, lr=cfg.get_path("optimizer.lr", 5e-4))
+        if (self.sr_params is not None and "SR" in self.what2train):
+            self.sr_opt = ModuleOptimizer(
+                self.sr_params,
+                lr=cfg.get_path("super_resolution.lr",
+                                cfg.get_path("optimizer.lr", 5e-4)))
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def _decoder_state(self):
+        state = {"model_coarse_state_dict": _to_numpy(self.decoder_coarse)}
+        if self.decoder_fine is not None:
+            state["model_fine_state_dict"] = _to_numpy(self.decoder_fine)
+        if self.planes_model:
+            state["rot_mats"] = np.asarray(self.rot_mats)
+            state["models_config"] = self.cfg.get("models", CfgNode()) \
+                .to_dict()
+        if self.decoder_opt is not None:
+            state["optimizer"] = _to_numpy(self.decoder_opt.state)
+        return state
+
+    def _sr_state(self):
+        state = {"SR_model": _to_numpy(self.sr_opt.params
+                                       if self.sr_opt else self.sr_params)}
+        if self.sr_opt is not None:
+            state["SR_optimizer"] = _to_numpy(self.sr_opt.state)
+        return state
+
+    def _load_checkpoints(self):
+        load_best = self.eval_mode or not self.resume_experiment
+        cfg = self.cfg
+        # SR checkpoint (train_nerf.py:483-506)
+        if self.sr_experiment and self.sr_params is not None:
+            if ("SR" not in self.what2train or self.resume_experiment
+                    or cfg.get_path("super_resolution.model.path")):
+                if self.resume_experiment and "SR" in self.what2train:
+                    src = self.load_checkpoint
+                elif cfg.get_path("super_resolution.model.path") is not None:
+                    src = os.path.join(self.root_path,
+                                       cfg.super_resolution.model["path"])
+                else:
+                    src = self.pretrained_model_folder
+                path = find_latest_checkpoint(
+                    src, sr=True,
+                    find_best=load_best or "SR" not in self.what2train)
+                assert path is not None, "Could not find an SR model to load"
+                ckpt = load_pickle(path, suffix="ckpt_best"
+                                   if path.endswith("_best") else "ckpt")
+                self.sr_params = _to_jnp(ckpt["SR_model"])
+                if self.sr_opt is not None:
+                    self.sr_opt.params = self.sr_params
+                    if "SR_optimizer" in ckpt:
+                        self.sr_opt.state = jax.tree.unflatten(
+                            jax.tree.structure(self.sr_opt.state),
+                            [jnp.asarray(x) for x in jax.tree.leaves(
+                                ckpt["SR_optimizer"])])
+                self.sr_checkpoint_source = path
+
+        # decoder checkpoint (train_nerf.py:508-552)
+        if (self.load_checkpoint == ""
+                or (self.planes_model
+                    and "decoder" not in self.what2train)):
+            src = self.pretrained_model_folder
+            find_best = load_best or "decoder" not in self.what2train
+        else:
+            src = self.load_checkpoint
+            find_best = load_best or (self.planes_model
+                                      and "decoder" not in self.what2train)
+        path = find_latest_checkpoint(src, sr=False, find_best=find_best)
+        if path is None:
+            return
+        ckpt = load_pickle(path, suffix="ckpt_best"
+                           if path.endswith("_best") else "ckpt")
+        if self.planes_model and "models_config" in ckpt:
+            assert_compatible_model_config(
+                ckpt["models_config"], self.cfg.get("models",
+                                                    CfgNode()).to_dict())
+        self.decoder_coarse = _to_jnp(ckpt["model_coarse_state_dict"])
+        if "model_fine_state_dict" in ckpt and not self.share_coarse_fine:
+            self.decoder_fine = _to_jnp(ckpt["model_fine_state_dict"])
+        if "rot_mats" in ckpt:
+            self.rot_mats = np.asarray(ckpt["rot_mats"])
+        if self.decoder_opt is not None:
+            params = {"dc": self.decoder_coarse}
+            if not self.share_coarse_fine and self.decoder_fine is not None:
+                params["df"] = self.decoder_fine
+            self.decoder_opt.params = params
+            if "optimizer" in ckpt:
+                try:
+                    self.decoder_opt.state = jax.tree.unflatten(
+                        jax.tree.structure(self.decoder_opt.state),
+                        [jnp.asarray(x) for x in jax.tree.leaves(
+                            ckpt["optimizer"])])
+                except Exception:
+                    pass
+
+    def save_checkpoints(self, iteration: int, as_best: bool = False):
+        """Rolling + best checkpoint writes (train_nerf.py:991-1020)."""
+        from nvsr_tpu.utils.io import check_run_signature
+        check_run_signature(self.logdir, self.run_time_signature)
+        if self.decoder_opt is not None:
+            self.decoder_coarse = self.decoder_opt.params["dc"]
+            if "df" in self.decoder_opt.params:
+                self.decoder_fine = self.decoder_opt.params["df"]
+        for model in self._models_to_save():
+            prefix = "SR_checkpoint" if model == "SR" else "checkpoint"
+            state = self._sr_state() if model == "SR" \
+                else self._decoder_state()
+            name = os.path.join(self.logdir,
+                                f"{prefix}{iteration:05d}.ckpt")
+            save_pickle(name, state, suffix="ckpt")
+            hist = self.experiment_info["last_saved"].setdefault(model, [])
+            if hist:
+                old = hist.pop(0)
+                if os.path.exists(old):
+                    os.remove(old)
+            hist.append(name)
+            if as_best:
+                save_pickle(os.path.join(self.logdir, f"{prefix}.ckpt"),
+                            state, suffix="ckpt", best=True)
+        save_pickle(self.experiment_info_file, self.experiment_info,
+                    suffix="pkl")
+
+    # ------------------------------------------------------------------
+    # planes
+    # ------------------------------------------------------------------
+    def _build_planes(self):
+        if not self.planes_model:
+            self.planes_buffer = None
+            return
+        cfg = self.cfg
+        folders = []
+        if self.planes_updating:
+            folders.append(self.logdir)
+        if cfg.get_path("models.planes_path") is not None:
+            folders.append(os.path.join(self.root_path,
+                                        cfg.models["planes_path"]))
+        if self.pretrained_model_folder is not None:
+            folders.append(self.pretrained_model_folder)
+        folders = [os.path.join(f, "planes") for f in folders]
+        if self.eval_mode:
+            assert os.path.isdir(folders[0]), \
+                f"missing planes folder {folders[0]}"
+        os.makedirs(folders[0], exist_ok=True)
+        self.store = PlaneStore(
+            folders, run_time_signature=self.run_time_signature)
+        optimize_planes = (any("planes" in m for m in self.what2train)
+                           and not self.eval_mode)
+
+        frozen = set()
+        if cfg.get_path("models.use_existing_planes", False):
+            frozen_store_dir = os.path.join(self.pretrained_model_folder,
+                                            "planes")
+            for sc in self.training_scenes:
+                lr_sc = self.scene_coupler.scene2saved.get(sc, sc)
+                probe = PlaneStore([frozen_store_dir])
+                if probe.exists(lr_sc, prefer_best=True):
+                    frozen.add(sc)
+                    frozen.add(lr_sc)
+
+        # initialize new scene planes (train_nerf.py:593, models.py:553-574)
+        if self.init_new_scenes and not self.eval_mode:
+            init_std = decoder_tied_init_std(
+                self.decoder_coarse,
+                std_factor=cfg.get_path("nerf.train.STD_factor", 0.1))
+            for scene, res in self.scene_id_plane_resolution.items():
+                if scene in frozen or self.store.exists(scene):
+                    continue
+                if scene not in self.coords_normalization:
+                    continue
+                self.key, k = jax.random.split(self.key)
+                planes = create_scene_planes(
+                    k, num_planes=self.model_cfg.num_planes,
+                    num_channels=self.model_cfg.num_plane_channels,
+                    resolution=res[0],
+                    viewdir_resolution=res[1],
+                    viewdir_channels=(self.model_cfg.viewdir_channels
+                                      if self.model_cfg.use_viewdirs else 0),
+                    init_std=init_std,
+                    box=self.coords_normalization[scene])
+                self.store.save(scene, planes)
+
+        store_opts = self.cfg.get_path("nerf.train.store_planes",
+                                       CfgNode())
+        self.planes_buffer = PlanesBuffer(
+            self.store, self.training_scenes or list(self.i_val.keys()),
+            lr=cfg.get_path("optimizer.planes_lr",
+                            cfg.get_path("optimizer.lr", 1e-3)),
+            buffer_size=store_opts.get("buffer_size", None),
+            steps_per_buffer=store_opts.get("steps_per_buffer", -1),
+            optimize=optimize_planes,
+            frozen_scenes=frozen,
+            scene2saved=self.scene_coupler.scene2saved,
+            do_when_reshuffling=lambda: self.scenes_cycle_counter.step(
+                print_str="Number of scene cycles performed: "),
+            rng=self.host_rng)
+
+    # ------------------------------------------------------------------
+    # rendering helpers
+    # ------------------------------------------------------------------
+    def _mode_render_cfg(self, mode: str, scene_id: str) -> RenderConfig:
+        cfg = self.cfg
+        stop_coarse = (self.planes_model and self.sr_params is not None
+                       and not self.decoder_training
+                       and not getattr(self, "apply_sr_to_coarse", False))
+        return RenderConfig.from_cfg(
+            cfg.nerf[mode], cfg.nerf,
+            stop_coarse_grad=stop_coarse and mode == "train")
+
+    def _point_fns_for_eval(self, scene_id, planes, skip_sr=False):
+        """Build (coarse, fine) point fns for a scene at eval time."""
+        if not self.planes_model:
+            ds_f = int(re.search(r"(?<=_DS)(\d)+",
+                                 scene_id).group(0))
+            enc = list(self.enc_cfg)
+            enc[5] = ds_f
+            dc = self.decoder_coarse
+            df = dc if self.share_coarse_fine else self.decoder_fine
+            mk = lambda p: make_baseline_point_fn(
+                p, self.mlp_cfg, num_encoding_fn_xyz=enc[0],
+                num_encoding_fn_dir=enc[1], include_input_xyz=enc[2],
+                include_input_dir=enc[3], mip=enc[4], ds_factor=enc[5],
+                ipe_multires=enc[6])
+            return mk(dc), mk(df)
+        sr_scene = (self.sr_params is not None
+                    and self.scene_coupler.should_SR(scene_id)
+                    and not skip_sr)
+        pos = planes.planes_pos
+        fine_planes = pos
+        coarse_planes = pos
+        if sr_scene:
+            sr_p = self.sr_opt.params if self.sr_opt else self.sr_params
+            hr = apply_plane_sr(sr_p, self.sr_cfg, pos)
+            fine_planes = hr
+            if getattr(self, "apply_sr_to_coarse", False):
+                coarse_planes = hr
+        box = jnp.asarray(planes.box)
+        dc = self.decoder_coarse if self.decoder_opt is None \
+            else self.decoder_opt.params["dc"]
+        df = dc if self.share_coarse_fine else (
+            self.decoder_fine if self.decoder_opt is None
+            or "df" not in self.decoder_opt.params
+            else self.decoder_opt.params["df"])
+        pf_c = make_triplane_point_fn(dc, self.model_cfg, coarse_planes,
+                                      planes.plane_view, box,
+                                      rot_mats=self.rot_mats)
+        pf_f = make_triplane_point_fn(df, self.model_cfg, fine_planes,
+                                      planes.plane_view, box,
+                                      rot_mats=self.rot_mats)
+        return pf_c, pf_f
+
+    def render_eval_image(self, scene_id: str, img_idx: int,
+                          skip_sr: bool = False):
+        """Render one full eval view (reference render_view,
+        train_nerf.py:668-686)."""
+        img, pose, h, w, focal, ds_f = self.dataset.item(img_idx)
+        ro, rd = get_ray_bundle(
+            h, w, focal, jnp.asarray(pose),
+            downsampling_offset=downsampling_offset(ds_f))
+        planes = None
+        if self.planes_model:
+            planes = self.planes_buffer.load_scene(
+                scene_id,
+                load_best=not self.planes_buffer.optimize)
+        pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
+                                              skip_sr=skip_sr)
+        scene_type = self.dataset.scene_types.get(
+            scene_id.replace("_train", ""), "synt")
+        sc_cfg = self.cfg.dataset[scene_type]
+        rcfg = self._mode_render_cfg("validation", scene_id)
+        self.key, k = jax.random.split(self.key)
+        out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
+                           near=sc_cfg["near"], far=sc_cfg["far"],
+                           no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal))
+        return out, img
+
+    # ------------------------------------------------------------------
+    # training iteration (reference train(), train_nerf.py:790-923)
+    # ------------------------------------------------------------------
+    def train_iteration(self, iteration: int):
+        cfg = self.cfg
+        first_vb = iteration % self.virtual_batch_size == 0
+        last_vb = (iteration % self.virtual_batch_size
+                   == self.virtual_batch_size - 1)
+        scene_id, img_idx = self.image_sampler.sample()
+        sr_iter = scene_id in self.scene_coupler.downsample_couples
+        img, pose, h, w, focal, ds_f = self.dataset.item(img_idx)
+        consistency_iter = bool(self.im_inconsistency_loss_w) and \
+            scene_id in self.dataset.val_only_scene_ids
+        coupler_ds = self.scene_coupler.ds_factor
+        if consistency_iter:
+            h, w, focal = h * coupler_ds, w * coupler_ds, focal * coupler_ds
+            ds_f = ds_f // coupler_ds
+        ro, rd = get_ray_bundle(
+            h, w, focal, jnp.asarray(pose),
+            downsampling_offset=downsampling_offset(ds_f))
+        num_rays = cfg.get_path("nerf.train.num_random_rays", 4096)
+        if consistency_iter:
+            ro_s, rd_s, target = select_patch_rays(
+                self.host_rng, img, ro, rd, num_rays, coupler_ds)
+        else:
+            ro_s, rd_s, target = select_random_rays(
+                self.host_rng, img, ro, rd, num_rays)
+        scene_type = self.dataset.scene_types.get(scene_id, "synt")
+        sc_cfg = cfg.dataset[scene_type]
+        rays = make_ray_bundle(
+            jnp.asarray(ro_s), jnp.asarray(rd_s), sc_cfg["near"],
+            sc_cfg["far"],
+            use_viewdirs=cfg.nerf.get("use_viewdirs", True),
+            no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal))
+        target = jnp.asarray(np.asarray(target, dtype=np.float32))
+
+        if first_vb:
+            if self.decoder_opt is not None:
+                self.decoder_opt.zero()
+            if self.sr_opt is not None:
+                self.sr_opt.zero()
+
+        rcfg = self._mode_render_cfg("train", scene_id)
+        self.key, k = jax.random.split(self.key)
+        member = (int(self.host_rng.integers(self.model_cfg.ensemble_size))
+                  if self.planes_model else 0)
+
+        if self.planes_model:
+            sr_loss_cfg = cfg.get_path("super_resolution.training.loss",
+                                       "fine") if self.sr_experiment \
+                else "both"
+            compute_coarse = (any(m in self.what2train
+                                  for m in ("decoder", "LR_planes"))
+                              or sr_loss_cfg != "fine")
+            compute_fine = (any(m in self.what2train
+                                for m in ("decoder", "LR_planes"))
+                            or sr_loss_cfg != "coarse")
+            flags = StepFlags(
+                sr_iter=sr_iter and self.sr_params is not None,
+                consistency_iter=consistency_iter,
+                detach_lr_planes=cfg.get_path(
+                    "nerf.train.detach_LR_planes", False),
+                apply_sr_to_coarse=getattr(self, "apply_sr_to_coarse",
+                                           False),
+                compute_coarse_loss=compute_coarse,
+                compute_fine_loss=compute_fine,
+                rendering_loss_w=getattr(self, "rendering_loss_w", 1.0),
+                im_inconsistency_loss_w=self.im_inconsistency_loss_w or 0.0,
+                ds_factor=coupler_ds,
+                share_coarse_fine=self.share_coarse_fine,
+                member=member)
+            planes = self.planes_buffer.get(scene_id)
+            dc = self.decoder_coarse if self.decoder_opt is None \
+                else self.decoder_opt.params["dc"]
+            df = None
+            if not self.share_coarse_fine:
+                df = self.decoder_fine if (self.decoder_opt is None
+                                           or "df" not in
+                                           self.decoder_opt.params) \
+                    else self.decoder_opt.params["df"]
+            sr_p = None
+            if self.sr_params is not None:
+                sr_p = self.sr_opt.params if self.sr_opt \
+                    else self.sr_params
+            metrics, grads = train_step(
+                dc, df, sr_p, planes.params(), jnp.asarray(planes.box),
+                rays, target, k, model_cfg=self.model_cfg,
+                sr_cfg=self.sr_cfg, rcfg=rcfg, flags=flags)
+            self.planes_buffer.apply_grads(scene_id, grads["planes"])
+        else:
+            flags = StepFlags(consistency_iter=consistency_iter,
+                              im_inconsistency_loss_w=(
+                                  self.im_inconsistency_loss_w or 0.0),
+                              ds_factor=coupler_ds,
+                              share_coarse_fine=self.share_coarse_fine)
+            enc = list(self.enc_cfg)
+            enc[5] = int(re.search(r"(?<=_DS)(\d)+", scene_id).group(0))
+            dc = self.decoder_opt.params["dc"]
+            df = self.decoder_opt.params.get("df")
+            metrics, grads = train_step_baseline(
+                dc, df, rays, target, k, mlp_cfg=self.mlp_cfg, rcfg=rcfg,
+                flags=flags, enc_cfg=tuple(enc))
+
+        # module-gated optimizer stepping (train_nerf.py:905-916)
+        confinements = self.dataset.module_confinements.get(scene_id, [])
+        if self.decoder_opt is not None:
+            dec_grads = {kk: grads[kk] for kk in ("dc", "df")
+                         if kk in grads and kk in self.decoder_opt.params}
+            self.decoder_opt.accumulate(dec_grads)
+        if self.sr_opt is not None and "sr" in grads:
+            self.sr_opt.accumulate(grads["sr"])
+        new_drawn = None
+        if self.planes_model:
+            new_drawn = self.planes_buffer.step_cadence()
+        if last_vb:
+            if self.decoder_opt is not None:
+                decoder_step = "decoder" not in confinements
+                if "SR" in self.what2train and cfg.get_path(
+                        "nerf.train.separate_decoder_sr", False):
+                    decoder_step &= not sr_iter
+                if decoder_step and (self.decoder_training
+                                     or not self.planes_model):
+                    self.decoder_opt.step()
+                else:
+                    self.decoder_opt.zero()
+            if (self.sr_opt is not None and sr_iter
+                    and "SR" not in confinements):
+                self.sr_opt.step()
+
+        # metric logging (train_nerf.py:893-922)
+        loss_val = float(metrics["loss"])
+        psnr = None
+        if consistency_iter:
+            self.logger.write_scalar("train/im_inconsistency", loss_val,
+                                     iteration)
+        else:
+            self.logger.write_scalar("train/loss", loss_val, iteration)
+            self.logger.write_scalar(
+                "train/loss_%s" % ("sr" if sr_iter else "lr"), loss_val,
+                iteration)
+            psnr = float(metrics["psnr"])
+            self.logger.write_scalar("train/psnr", psnr, iteration)
+            self.logger.write_scalar("train/coarse_loss",
+                                     float(metrics["coarse_loss"]),
+                                     iteration)
+            self.logger.write_scalar("train/fine_loss",
+                                     float(metrics["fine_loss"]), iteration)
+            self.logger.write_scalar("train/fine_psnr",
+                                     float(metrics["fine_psnr"]), iteration)
+        return loss_val, psnr, new_drawn
+
+    # ------------------------------------------------------------------
+    # evaluation (reference evaluate(), train_nerf.py:625-788)
+    # ------------------------------------------------------------------
+    def evaluate(self, iteration: int = 0):
+        eval_mode = self.eval_mode
+        if eval_mode:
+            img_groups = [list(v) for v in self.i_val.values()]
+        else:
+            vi = self.experiment_info["eval_counter"] \
+                % self.val_ims_per_scene
+            img_groups = [[v[vi] for v in self.i_val.values()]]
+
+        from collections import defaultdict
+        all_losses = {}
+        for cycle, img_indices in enumerate(img_groups):
+            per = defaultdict(lambda: defaultdict(list))
+            for eval_num, img_idx in enumerate(img_indices):
+                scene_num = cycle if eval_mode else eval_num
+                scene_id = self.dataset.per_im_scene_id[img_idx]
+                group = self.val_strings[scene_num]
+                sr_scene = ((not self.planes_model or self.sr_experiment)
+                            and scene_id
+                            in self.scene_coupler.downsample_couples)
+                out, img_target = self.render_eval_image(scene_id, img_idx)
+                rgb_fine = np.asarray(out.fine.rgb if out.fine is not None
+                                      else out.coarse.rgb)
+                rgb_coarse = np.asarray(out.coarse.rgb)
+                target = np.asarray(img_target)[..., :3]
+                loss = float(img2mse(jnp.asarray(rgb_fine),
+                                     jnp.asarray(target)))
+                per[group]["loss"].append(loss)
+                per[group]["psnr"].append(float(mse2psnr(jnp.asarray(loss))))
+                per[group]["target"].append(target)
+                per[group]["sr_scene"].append(sr_scene)
+                if sr_scene:
+                    if self.im_inconsistency_loss_w is not None:
+                        inc = float(image_inconsistency_loss(
+                            jnp.asarray(rgb_fine.transpose(2, 0, 1)[None]),
+                            self.scene_coupler.ds_factor,
+                            gt_hr=jnp.asarray(
+                                target.transpose(2, 0, 1)[None])))
+                        per[group]["im_inconsistency"].append(inc)
+                    rgb_sr = rgb_fine
+                    per[group]["rgb_SR"].append(rgb_sr)
+                    if self.planes_model and self.sr_params is not None:
+                        # reference render (no SR) for the SR-gain metric
+                        out_ref, _ = self.render_eval_image(
+                            scene_id, img_idx, skip_sr=True)
+                        rgb_fine = np.asarray(out_ref.fine.rgb)
+                        rgb_coarse = np.asarray(out_ref.coarse.rgb)
+                    fine_loss = float(img2mse(jnp.asarray(rgb_fine),
+                                              jnp.asarray(target)))
+                    per[group]["fine_loss"].append(fine_loss)
+                else:
+                    per[group]["rgb_SR"].append(None)
+                    per[group]["coarse_loss"].append(float(img2mse(
+                        jnp.asarray(rgb_coarse), jnp.asarray(target))))
+                    per[group]["fine_loss"].append(loss)
+                per[group]["rgb_fine"].append(rgb_fine)
+                per[group]["rgb_coarse"].append(rgb_coarse)
+
+            groups = [self.val_strings[cycle]] if eval_mode \
+                else set(self.val_strings)
+            for group in groups:
+                g = per[group]
+                if not g["loss"]:
+                    continue
+                write_index = cycle if eval_mode else iteration
+                if sum(g["sr_scene"]) > 0 and any(
+                        v is not None for v in g["rgb_SR"]):
+                    gains = [g["psnr"][i] - float(mse2psnr(jnp.asarray(l)))
+                             for i, l in enumerate(g["fine_loss"])
+                             if g["sr_scene"][i]]
+                    self.logger.write_scalar(
+                        f"{group}/SR_psnr_gain",
+                        gains if eval_mode else float(np.nanmean(gains)),
+                        write_index)
+                    self.logger.write_images(
+                        f"{group}/rgb_SR",
+                        [im for im in g["rgb_SR"] if im is not None],
+                        str(write_index), write_index,
+                        psnrs=(gains if eval_mode else g["psnr"]))
+                if g.get("im_inconsistency"):
+                    self.logger.write_scalar(
+                        f"{group}/im_inconsistency",
+                        float(np.nanmean(g["im_inconsistency"])),
+                        write_index)
+                self.logger.write_scalar(
+                    f"{group}/fine_psnr",
+                    float(np.nanmean([float(mse2psnr(jnp.asarray(l)))
+                                      for l in g["fine_loss"]])),
+                    write_index)
+                self.logger.write_scalar(f"{group}/loss",
+                                         float(np.nanmean(g["loss"])),
+                                         write_index)
+                self.logger.write_scalar(f"{group}/psnr",
+                                         float(np.nanmean(g["psnr"])),
+                                         write_index)
+                if g.get("coarse_loss"):
+                    self.logger.write_scalar(
+                        f"{group}/coarse_loss",
+                        float(np.nanmean(g["coarse_loss"])), write_index)
+                self.logger.write_scalar(f"{group}/fine_loss",
+                                         float(np.nanmean(g["fine_loss"])),
+                                         write_index)
+                self.logger.write_images(
+                    f"{group}/rgb_fine", g["rgb_fine"], str(write_index),
+                    write_index,
+                    psnrs=[float(mse2psnr(jnp.asarray(l)))
+                           for l in g["fine_loss"]],
+                    white_bg=self.cfg.get_path(
+                        "nerf.validation.white_background", False))
+                if not eval_mode and iteration not in \
+                        self.saved_target_ims[group]:
+                    self.logger.write_images(f"{group}/img_target",
+                                             g["target"], str(write_index),
+                                             write_index)
+                    self.saved_target_ims[group].add(iteration)
+                all_losses[group] = g["loss"]
+        return all_losses
+
+    # ------------------------------------------------------------------
+    # main loop (reference train_nerf.py:925-1024)
+    # ------------------------------------------------------------------
+    def run(self, max_iters: int = None):
+        cfg = self.cfg
+        if self.planes_model:
+            self.planes_buffer.draw_scenes()
+            if not self.eval_mode:
+                self.image_sampler.update_active(
+                    self.planes_buffer.cur_scenes)
+        elif not self.eval_mode:
+            self.image_sampler.update_active(self.training_scenes)
+
+        if self.eval_mode:
+            self.evaluate()
+            return
+
+        train_iters = max_iters if max_iters is not None \
+            else cfg.experiment["train_iters"]
+        validate_every = cfg.experiment.get("validate_every", [0.1, 5000])
+        save_every = cfg.experiment.get("save_every", 10.0)
+        print_every = cfg.experiment.get("print_every", 100)
+        no_improvement_iters = cfg.experiment.get("no_improvement_iters",
+                                                  None)
+
+        training_time, evaluation_time = 0.0, 0.0
+        last_evaluated = self.experiment_info["start_i"]
+        recently_saved = time.time()
+        print_loss, print_psnr = [], []
+
+        for iteration in range(self.experiment_info["start_i"], train_iters):
+            if isinstance(validate_every, list):
+                evaluate_now = (evaluation_time
+                                <= training_time * validate_every[0]
+                                or iteration - last_evaluated
+                                >= validate_every[1])
+            else:
+                evaluate_now = iteration % validate_every == 0
+            evaluate_now |= iteration == train_iters - 1
+
+            if evaluate_now:
+                last_evaluated = iteration
+                t0 = time.time()
+                self.evaluate(iteration)
+                evaluation_time = time.time() - t0
+                if self.planes_model:
+                    self.planes_buffer.draw_scenes()
+                    self.image_sampler.update_active(
+                        self.planes_buffer.cur_scenes)
+                else:
+                    self.image_sampler.update_active(self.training_scenes)
+                training_time = 0.0
+                self.experiment_info["eval_counter"] += 1
+
+            t0 = time.time()
+            loss, psnr, new_drawn = self.train_iteration(iteration)
+            if new_drawn is not None:
+                self.image_sampler.update_active(new_drawn)
+            if psnr is not None:
+                print_loss.append(loss)
+                print_psnr.append(psnr)
+            training_time += time.time() - t0
+
+            if iteration % print_every == 0 or iteration == train_iters - 1:
+                print("[TRAIN] Iter: %d Loss: %s PSNR: %s"
+                      % (iteration,
+                         np.mean(print_loss) if print_loss else "n/a",
+                         np.mean(print_psnr) if print_psnr else "n/a"))
+                print_loss, print_psnr = [], []
+
+            save_now = (self.scenes_cycle_counter.check_and_reset()
+                        if (self.planes_model and self.decoder_training)
+                        else False)
+            if isinstance(save_every, int):
+                save_now |= iteration % save_every == 0
+            else:
+                save_now |= (time.time() - recently_saved) / 60 > save_every
+            save_now |= iteration == train_iters - 1
+
+            if save_now:
+                save_as_best, quit_training = False, False
+                grp0 = self.loss_groups4_best[0] \
+                    if self.loss_groups4_best else None
+                if grp0 and self.running.full(self.loss4best, grp0):
+                    recent = float(np.mean(
+                        [v for g in self.loss_groups4_best
+                         for v in self.running.scores[self.loss4best][g]]))
+                    if recent < self.experiment_info["best_loss"][1]:
+                        self.experiment_info["best_loss"] = (iteration,
+                                                             recent)
+                        save_as_best = True
+                    elif no_improvement_iters is not None:
+                        if (iteration - self.experiment_info["best_loss"][0]
+                                >= len(self.training_scenes)
+                                * no_improvement_iters):
+                            quit_training = True
+                recently_saved = time.time()
+                if self.planes_model and self.planes_buffer.optimize:
+                    self.planes_buffer.save_params()
+                    if save_as_best:
+                        self.planes_buffer.save_params(as_best=True)
+                self.experiment_info["start_i"] = iteration + 1
+                self.save_checkpoints(iteration, as_best=save_as_best)
+                if quit_training:
+                    print("Done training: no improvement for %d iters"
+                          % (iteration
+                             - self.experiment_info["best_loss"][0]))
+                    break
+        print("Done!")

@@ -146,6 +146,55 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
     return metrics, grads
 
 
+@partial(jax.jit, static_argnames=("mlp_cfg", "rcfg", "flags", "enc_cfg"))
+def train_step_baseline(decoder_coarse, decoder_fine, rays: RayBundle,
+                        target, key, *, mlp_cfg, rcfg: RenderConfig,
+                        flags: StepFlags, enc_cfg: tuple):
+    """Baseline (PE / mip-IPE NeRF) training step
+    (reference train_nerf.py train() with FlexibleNeRFModel models).
+
+    enc_cfg: hashable tuple
+      (num_fn_xyz, num_fn_dir, include_xyz, include_dir, mip,
+       ds_factor, ipe_multires).
+    """
+    from nvsr_tpu.render import make_baseline_point_fn
+
+    (n_xyz, n_dir, inc_xyz, inc_dir, mip, ds_factor, multires) = enc_cfg
+    diff = {"dc": decoder_coarse}
+    if not flags.share_coarse_fine:
+        diff["df"] = decoder_fine
+
+    def loss_fn(diff):
+        dc = diff["dc"]
+        df = diff["dc"] if flags.share_coarse_fine else diff["df"]
+        pf_c = make_baseline_point_fn(
+            dc, mlp_cfg, num_encoding_fn_xyz=n_xyz, num_encoding_fn_dir=n_dir,
+            include_input_xyz=inc_xyz, include_input_dir=inc_dir, mip=mip,
+            ds_factor=ds_factor, ipe_multires=multires)
+        pf_f = make_baseline_point_fn(
+            df, mlp_cfg, num_encoding_fn_xyz=n_xyz, num_encoding_fn_dir=n_dir,
+            include_input_xyz=inc_xyz, include_input_dir=inc_dir, mip=mip,
+            ds_factor=ds_factor, ipe_multires=multires)
+        out = render_rays(pf_c, pf_f, rays, key, rcfg)
+        rgb_coarse = out.coarse.rgb
+        rgb_fine = out.fine.rgb if out.fine is not None else None
+        if flags.consistency_iter:
+            rgb_coarse = avg_downsample_pixels(rgb_coarse, flags.ds_factor)
+            if rgb_fine is not None:
+                rgb_fine = avg_downsample_pixels(rgb_fine, flags.ds_factor)
+        coarse_loss = img2mse(rgb_coarse, target[..., :3])
+        fine_loss = (img2mse(rgb_fine, target[..., :3])
+                     if rgb_fine is not None else jnp.float32(0.0))
+        rendering_loss = coarse_loss + fine_loss
+        aux = {"loss": rendering_loss, "coarse_loss": coarse_loss,
+               "fine_loss": fine_loss, "psnr": mse2psnr(rendering_loss),
+               "fine_psnr": mse2psnr(fine_loss)}
+        return _loss_weight(flags) * rendering_loss, aux
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)
+    return metrics, grads
+
+
 # ---------------------------------------------------------------------------
 # Host-side trainer: optimizers, gating, virtual batches
 # ---------------------------------------------------------------------------
