@@ -52,6 +52,9 @@ class TriplaneConfig:
     num_planes: int = 3
     ensemble_size: int = 1
     point_coords_noise: float = 0.0
+    # store the packed gather table in this dtype ('bfloat16' trades a
+    # tap-value quantization for gather bandwidth); None = plane dtype
+    gather_table_dtype: Optional[str] = None
 
     def __post_init__(self):
         assert self.rgb_dec_input in (
@@ -307,52 +310,55 @@ def _mlp_branch(layers, fc_out, x_in, cfg: TriplaneConfig):
 
 
 def sample_planes(planes_pos, grids, cfg: TriplaneConfig):
-    """Gather per-plane features: [P,C,R,R] planes at [P,N,2] -> [P,N,C]."""
+    """Gather per-plane features: [P,C,R,R] planes at [P,N,2] -> [P,N,C].
+
+    Bilinear uses the packed single-gather fast path
+    (ops/grid_sample.py packed-tap table); bicubic falls back to the
+    generic 16-tap sampler.
+    """
+    if cfg.plane_interp == "bilinear":
+        from nvsr_tpu.ops.grid_sample import multi_plane_sample_packed
+        return multi_plane_sample_packed(planes_pos, grids,
+                                         align_corners=cfg.align_corners,
+                                         table_dtype=cfg.gather_table_dtype)
     return jax.vmap(
         lambda pl, g: grid_sample_2d(pl, g, mode=cfg.plane_interp,
                                      align_corners=cfg.align_corners)
     )(planes_pos, grids)
 
 
-def apply_triplane(params, cfg: TriplaneConfig, planes_pos, plane_view, box,
-                   x, *, member: int = 0, noise_key=None,
-                   plane_resolution: Optional[int] = None, rot_mats=None):
-    """Full forward: [N, 3(+3)] raw points(+viewdirs) -> [N, 4] (rgb, sigma).
+def sample_viewdir_plane(plane_view, viewdirs, box, cfg: TriplaneConfig):
+    """Unit viewdirs [N,3] -> view-plane features [N,Cv]
+    (cart2az_el + az/el box normalization + plane sample;
+    reference models.py:312-326,383)."""
+    azel = cart2az_el(viewdirs)
+    azel_n = normalize_coords(azel, box[:, 3:])
+    return grid_sample_2d(plane_view, azel_n, mode=cfg.plane_interp,
+                          align_corners=cfg.align_corners)
 
-    Args:
-      params: decoder pytree from init_decoder_params.
-      planes_pos: [P, C, R, R] positional feature planes (possibly
-        super-resolved upstream).
-      plane_view: [Cv, Rv, Rv] view-direction plane or None.
-      box: [2, 3+2*use_viewdirs] normalization box.
-      x: [N, 3] xyz, or [N, 6] xyz+unit-viewdir when cfg.use_viewdirs.
-      member: ensemble member index (host-chosen).
-      noise_key: PRNG key enabling train-time point-coordinate noise
-        (reference models.py:291-293); requires plane_resolution.
 
-    Mirrors reference models.py:381-421.
+def apply_triplane_points(params, cfg: TriplaneConfig, planes_pos, box,
+                          xyz_raw, view_proj, *, member: int = 0,
+                          noise_key=None,
+                          plane_resolution: Optional[int] = None,
+                          rot_mats=None):
+    """Core forward on raw xyz with PRE-SAMPLED viewdir features.
+
+    xyz_raw: [N,3] world points; view_proj: [N,Cv] or None.
+    Mirrors reference models.py:381-421 with the view-plane sampling
+    factored out (callers with per-ray constant viewdirs sample it once
+    per ray and broadcast — identical math, 1/num_samples the gathers).
     """
     m = params["members"][member]
-    if cfg.use_viewdirs:
-        coords = jnp.concatenate([x[..., :3], cart2az_el(x[..., 3:])], -1)
-    else:
-        coords = x[..., :3]
-    coords = normalize_coords(coords, box)
-    xyz = coords[..., :3]
+    xyz = normalize_coords(xyz_raw, box[:, :3])
     if noise_key is not None and cfg.point_coords_noise:
         assert plane_resolution is not None
         std = cfg.point_coords_noise * 2.0 / (1 + plane_resolution)
         xyz = xyz + std * jax.random.normal(noise_key, xyz.shape, xyz.dtype)
 
     rot = rot_mats if rot_mats is not None else make_rot_mats(cfg.num_planes)
-    grids = project_to_planes(xyz, rot)              # [P,N,2]
+    grids = project_to_planes(xyz, rot)                # [P,N,2]
     pos_projs = sample_planes(planes_pos, grids, cfg)  # [P,N,C]
-
-    if cfg.use_viewdirs:
-        view_grid = coords[..., 3:]
-        view_proj = grid_sample_2d(plane_view, view_grid,
-                                   mode=cfg.plane_interp,
-                                   align_corners=cfg.align_corners)
 
     projected_xyz = combine_pos_planes(pos_projs, cfg.proj_combination)
     h, alpha = _mlp_branch(m["density"], m["fc_alpha"], projected_xyz, cfg)
@@ -364,7 +370,7 @@ def apply_triplane(params, cfg: TriplaneConfig, planes_pos, plane_view, box,
                 "(models.py:405-407)")
         # 'features': the rgb branch consumes the density features
         # (treated as a single-plane stack for viewdir combination).
-        rgb_src = _linear(m["fc_feat"], h)[None]     # [1,N,C]
+        rgb_src = _linear(m["fc_feat"], h)[None]       # [1,N,C]
     else:
         rgb_src = pos_projs
     if cfg.use_viewdirs:
@@ -374,3 +380,46 @@ def apply_triplane(params, cfg: TriplaneConfig, planes_pos, plane_view, box,
 
     _, rgb = _mlp_branch(m["rgb"], m["fc_rgb"], x_rgb_in, cfg)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def apply_triplane(params, cfg: TriplaneConfig, planes_pos, plane_view, box,
+                   x, *, member: int = 0, noise_key=None,
+                   plane_resolution: Optional[int] = None, rot_mats=None):
+    """Reference-signature forward: [N, 3(+3)] points(+viewdirs) -> [N,4].
+
+    Matches reference models.py:381-421 exactly (per-point viewdir
+    sampling).
+    """
+    view_proj = None
+    if cfg.use_viewdirs:
+        view_proj = sample_viewdir_plane(plane_view, x[..., 3:], box, cfg)
+    return apply_triplane_points(
+        params, cfg, planes_pos, box, x[..., :3], view_proj, member=member,
+        noise_key=noise_key, plane_resolution=plane_resolution,
+        rot_mats=rot_mats)
+
+
+def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
+                        box, pts, viewdirs, *, member: int = 0,
+                        noise_key=None,
+                        plane_resolution: Optional[int] = None,
+                        rot_mats=None):
+    """Ray-structured forward: pts [R,S,3] + per-ray viewdirs [R,3]
+    -> [R,S,4].
+
+    The view-direction plane is sampled ONCE per ray and broadcast over
+    samples (viewdirs are constant along a ray — the reference
+    recomputes them per sample, train_utils.py:36-41; the result is
+    identical)."""
+    r, s, _ = pts.shape
+    view_proj = None
+    if cfg.use_viewdirs:
+        vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
+        view_proj = jnp.broadcast_to(
+            vp_ray[:, None, :], (r, s, vp_ray.shape[-1])).reshape(
+                r * s, vp_ray.shape[-1])
+    out = apply_triplane_points(
+        params, cfg, planes_pos, box, pts.reshape(-1, 3), view_proj,
+        member=member, noise_key=noise_key,
+        plane_resolution=plane_resolution, rot_mats=rot_mats)
+    return out.reshape(r, s, 4)

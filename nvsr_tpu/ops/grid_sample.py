@@ -135,6 +135,89 @@ def grid_sample_2d(plane, grid, mode: str = "bilinear",
     return out.reshape(*lead_shape, plane.shape[0])
 
 
+# ---------------------------------------------------------------------------
+# Packed-tap bilinear sampling (the TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# XLA's row-gather on TPU is dominated by per-row overhead (~tens of ns
+# per fetched row), so fetching the 4 bilinear taps as 4 separate
+# gathers wastes 4x the row budget. Instead we pre-pack, for every pixel
+# (y, x), the 2x2 neighborhood [(y,x),(y,x+1),(y+1,x),(y+1,x+1)] into
+# ONE lane-aligned row of a [H*W, pad128(4C)] table (edge-padded, which
+# reproduces border clamping exactly). Bilinear sampling then costs a
+# single row gather per point. The packing itself is dense
+# pad/slice/concat work that XLA streams at full HBM bandwidth, and its
+# autodiff transpose scatters gradients back to the raw plane.
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_plane_bilinear(plane, table_dtype=None):
+    """[C, H, W] -> [H*W, round_up(4C, 128)] packed 2x2-tap table.
+
+    table_dtype: optionally store the table in a lower precision
+    (bfloat16) — interpolation weights stay f32 and the output upcasts,
+    so only the tap values quantize.
+    """
+    C, H, W = plane.shape
+    p = jnp.pad(plane, ((0, 0), (0, 1), (0, 1)), mode="edge")
+    taps = jnp.concatenate(
+        [p[:, :H, :W], p[:, :H, 1:W + 1],
+         p[:, 1:H + 1, :W], p[:, 1:H + 1, 1:W + 1]], axis=0)  # [4C,H,W]
+    packed = taps.transpose(1, 2, 0).reshape(H * W, 4 * C)
+    pad = _round_up(4 * C, 128) - 4 * C
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+    if table_dtype is not None:
+        packed = packed.astype(table_dtype)
+    return packed
+
+
+def packed_bilinear_sample(packed, height: int, width: int, channels: int,
+                           grid, align_corners: bool = True):
+    """Sample a packed plane at [..., 2] (x, y) coords in [-1, 1].
+
+    Numerically identical to grid_sample_2d(..., mode='bilinear',
+    padding_mode='border') — verified in tests/test_grid_sample.py.
+    Returns [..., channels].
+    """
+    lead = grid.shape[:-1]
+    g = grid.reshape(-1, 2)
+    x = _unnormalize(g[:, 0], width, align_corners)
+    y = _unnormalize(g[:, 1], height, align_corners)
+    x = jnp.clip(x, 0.0, width - 1.0)
+    y = jnp.clip(y, 0.0, height - 1.0)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = (x - x0f)[:, None]
+    ty = (y - y0f)[:, None]
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, width - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, height - 1)
+    rows = jnp.take(packed, y0 * width + x0, axis=0).astype(tx.dtype)
+    c = channels
+    v00 = rows[:, 0 * c:1 * c]
+    v01 = rows[:, 1 * c:2 * c]
+    v10 = rows[:, 2 * c:3 * c]
+    v11 = rows[:, 3 * c:4 * c]
+    top = v00 * (1.0 - tx) + v01 * tx
+    bot = v10 * (1.0 - tx) + v11 * tx
+    out = top * (1.0 - ty) + bot * ty
+    return out.reshape(*lead, c)
+
+
+def multi_plane_sample_packed(planes, grids, align_corners: bool = True,
+                              table_dtype=None):
+    """[P,C,H,W] planes at [P,N,2] grids -> [P,N,C] via packed gathers."""
+    _, C, H, W = planes.shape
+    packed = jax.vmap(
+        lambda p: pack_plane_bilinear(p, table_dtype=table_dtype))(planes)
+    return jax.vmap(
+        lambda pk, g: packed_bilinear_sample(pk, H, W, C, g,
+                                             align_corners=align_corners)
+    )(packed, grids)
+
+
 def multi_plane_sample(planes, grids, mode: str = "bilinear",
                        align_corners: bool = True):
     """Sample a stack of planes at per-plane grids and return the list.

@@ -30,7 +30,7 @@ from nvsr_tpu.ops.geometry import ndc_rays
 from nvsr_tpu.ops.rendering import RenderOutputs, volume_render
 from nvsr_tpu.ops.sampling import hierarchical_z_vals, stratified_z_vals
 from nvsr_tpu.models.nerf_mlp import apply_nerf_mlp
-from nvsr_tpu.models.triplane import apply_triplane
+from nvsr_tpu.models.triplane import apply_triplane_rays
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,16 +200,10 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
     train_nerf.py:312-314)."""
 
     def point_fn(pts, rays, z_vals):
-        r, s, _ = pts.shape
-        flat = pts.reshape(-1, 3)
-        if model_cfg.use_viewdirs:
-            dirs = jnp.broadcast_to(rays.viewdirs[:, None, :], (r, s, 3))
-            flat = jnp.concatenate([flat, dirs.reshape(-1, 3)], axis=-1)
-        out = apply_triplane(params, model_cfg, planes_pos, plane_view, box,
-                             flat, member=member, noise_key=noise_key,
-                             plane_resolution=plane_resolution,
-                             rot_mats=rot_mats)
-        return out.reshape(r, s, 4)
+        return apply_triplane_rays(
+            params, model_cfg, planes_pos, plane_view, box, pts,
+            rays.viewdirs, member=member, noise_key=noise_key,
+            plane_resolution=plane_resolution, rot_mats=rot_mats)
 
     return point_fn
 
