@@ -50,7 +50,8 @@ def main():
     model_cfg = TriplaneConfig(
         proj_combination="avg", viewdir_proj_combination="concat_pos",
         skip_connect_every=3,
-        gather_table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"))
+        gather_table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
+        compute_dtype=os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16"))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     decoder = init_decoder_params(k1, model_cfg, dtype=dtype)

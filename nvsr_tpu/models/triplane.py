@@ -55,6 +55,9 @@ class TriplaneConfig:
     # store the packed gather table in this dtype ('bfloat16' trades a
     # tap-value quantization for gather bandwidth); None = plane dtype
     gather_table_dtype: Optional[str] = None
+    # run decoder matmuls in this dtype with f32 accumulation
+    # ('bfloat16' uses the MXU at full rate); None = input dtype
+    compute_dtype: Optional[str] = None
 
     def __post_init__(self):
         assert self.rgb_dec_input in (
@@ -198,8 +201,14 @@ def _init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32):
     }
 
 
-def _linear(p, x):
-    return x @ p["w"] + p["b"]
+def _linear(p, x, compute_dtype=None):
+    if compute_dtype is None:
+        return x @ p["w"] + p["b"]
+    y = jax.lax.dot_general(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y + p["b"]
 
 
 def init_decoder_params(key, cfg: TriplaneConfig, dtype=jnp.float32):
@@ -305,8 +314,8 @@ def _mlp_branch(layers, fc_out, x_in, cfg: TriplaneConfig):
     for layer_num, p in enumerate(layers):
         if cfg.is_skip_layer(layer_num - 1):
             x = jnp.concatenate([x, x_in], axis=-1)
-        x = jax.nn.relu(_linear(p, x))
-    return x, _linear(fc_out, x)
+        x = jax.nn.relu(_linear(p, x, cfg.compute_dtype))
+    return x, _linear(fc_out, x, cfg.compute_dtype)
 
 
 def sample_planes(planes_pos, grids, cfg: TriplaneConfig):

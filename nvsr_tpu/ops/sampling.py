@@ -62,17 +62,23 @@ def sample_pdf(key, bins, weights, num_samples: int, det: bool = False):
       nerf_helpers.py:668-702 (`sample_pdf_2`): +1e-5 weight floor,
       right-sided search, denominator floor 1e-5.
     """
+    if det:
+        shape = weights.shape[:-1] + (num_samples,)
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, num_samples, dtype=bins.dtype), shape)
+    else:
+        u = jax.random.uniform(key, weights.shape[:-1] + (num_samples,),
+                               dtype=bins.dtype)
+    return _invert_cdf(bins, weights, u)
+
+
+def _invert_cdf(bins, weights, u):
+    """Piecewise-linear CDF inversion at samples u (shared core;
+    numerics of reference sample_pdf_2, nerf_helpers.py:673-702)."""
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B]
-
-    if det:
-        u = jnp.linspace(0.0, 1.0, num_samples, dtype=cdf.dtype)
-        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
-    else:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
-                               dtype=cdf.dtype)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
     # side='right' searchsorted == count of cdf entries <= u. Dense compare:
     # [R, Nf, B] bools summed over B. VPU-friendly; no sorted-search gather.
@@ -93,17 +99,68 @@ def sample_pdf(key, bins, weights, num_samples: int, det: bool = False):
     return bins_below + t * (bins_above - bins_below)
 
 
+def sorted_uniform(key, shape, dtype=jnp.float32):
+    """Sorted iid-uniform samples WITHOUT a sort.
+
+    Order statistics of n uniforms == normalized partial sums of n+1
+    exponentials: U_(i) = (E_1+...+E_i) / (E_1+...+E_{n+1}). O(n) cumsum
+    replaces an O(n log n) per-ray sort — on TPU this avoids the
+    expensive per-row sorting network entirely.
+    """
+    n = shape[-1]
+    e = jax.random.exponential(key, shape[:-1] + (n + 1,), dtype=dtype)
+    cums = jnp.cumsum(e, axis=-1)
+    return cums[..., :-1] / cums[..., -1:]
+
+
+def merge_sorted(a, b):
+    """Merge two per-row SORTED arrays along the last axis, sort-free.
+
+    Output ranks come from cross searchsorted counts (dense compares);
+    the permutation applies as a one-hot contraction — pure VPU/MXU
+    work, no sorting network and no scatter.
+    a: [..., na], b: [..., nb] -> [..., na+nb].
+    """
+    na = a.shape[-1]
+    nb = b.shape[-1]
+    n = na + nb
+    # rank of a[i] = i + |{j : b[j] < a[i]}|  (ties: a first)
+    rank_a = (jnp.arange(na) +
+              jnp.sum(b[..., None, :] < a[..., :, None], axis=-1))
+    rank_b = (jnp.arange(nb) +
+              jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1))
+    pos = jnp.arange(n)
+    one_hot_a = (rank_a[..., :, None] == pos).astype(a.dtype)
+    one_hot_b = (rank_b[..., :, None] == pos).astype(b.dtype)
+    return (jnp.einsum("...an,...a->...n", one_hot_a, a)
+            + jnp.einsum("...bn,...b->...n", one_hot_b, b))
+
+
 def hierarchical_z_vals(key, z_vals, weights, num_fine: int, det: bool,
                         mip: bool = False):
     """Fine-pass depths: inverse-CDF resample + sorted merge.
 
-    Matches reference train_utils.py:143-155: sample from midpoint bins
-    with the edge weights dropped, stop-gradient the samples, then merge
-    and sort with the coarse depths.
+    Matches reference train_utils.py:143-155 semantics: sample from
+    midpoint bins with the edge weights dropped, stop-gradient the
+    samples, then merge with the coarse depths in sorted order.
+
+    TPU-native difference (result-identical): the uniforms are drawn
+    pre-sorted (`sorted_uniform`), so the inverse-CDF samples come out
+    monotone and the final "sort" is a sort-free two-way merge. The
+    reference sorts an unordered concat (nerf_helpers.py:683, then
+    train_utils.py:155); since only the sorted union matters, drawing
+    the same number of iid uniforms in sorted order yields an
+    identically-distributed result.
     """
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     if mip:
         z_mid = 0.5 * (z_mid[..., 1:] + z_mid[..., :-1])
-    z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], num_fine, det=det)
+    if det:
+        z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], num_fine,
+                               det=True)
+    else:
+        u = sorted_uniform(key, weights.shape[:-1] + (num_fine,),
+                           dtype=z_vals.dtype)
+        z_samples = _invert_cdf(z_mid, weights[..., 1:-1], u)
     z_samples = jax.lax.stop_gradient(z_samples)
-    return jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    return merge_sorted(z_vals, z_samples)

@@ -111,3 +111,62 @@ def test_hierarchical_samples_no_grad():
 
     g = jax.grad(f)(jnp.ones((2, 9)))
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_sorted_uniform_is_sorted_and_uniform():
+    from nvsr_tpu.ops.sampling import sorted_uniform
+
+    u = np.asarray(sorted_uniform(jax.random.PRNGKey(0), (2000, 16)))
+    assert np.all(np.diff(u, axis=-1) >= 0)
+    assert np.all((u >= 0) & (u <= 1))
+    # marginal of a random position ~ Beta(i+1, n-i+1); check mean of
+    # the middle order statistic is near (i+1)/(n+1)
+    mid = u[:, 8]
+    np.testing.assert_allclose(mid.mean(), 9 / 17, atol=0.02)
+    # pooled samples look uniform
+    np.testing.assert_allclose(u.ravel().mean(), 0.5, atol=0.01)
+
+
+def test_merge_sorted_matches_numpy(rng):
+    from nvsr_tpu.ops.sampling import merge_sorted
+
+    a = np.sort(rng.random((10, 9)).astype(np.float32), -1)
+    b = np.sort(rng.random((10, 6)).astype(np.float32), -1)
+    out = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.sort(np.concatenate([a, b], -1), -1)
+    np.testing.assert_allclose(out, ref, atol=1e-7)
+
+
+def test_merge_sorted_with_ties():
+    from nvsr_tpu.ops.sampling import merge_sorted
+
+    a = jnp.asarray([[1.0, 2.0, 2.0, 5.0]])
+    b = jnp.asarray([[2.0, 3.0]])
+    out = np.asarray(merge_sorted(a, b))
+    np.testing.assert_allclose(out, [[1, 2, 2, 2, 3, 5]])
+
+
+def test_hierarchical_det_merge_equals_sort(rng):
+    """det path: the sort-free merge must equal sort(concat)."""
+    z_vals = np.sort(rng.random((5, 9)).astype(np.float32), -1) * 4 + 2
+    weights = rng.random((5, 9)).astype(np.float32)
+    z = np.asarray(hierarchical_z_vals(jax.random.PRNGKey(0),
+                                       jnp.asarray(z_vals),
+                                       jnp.asarray(weights), 8, det=True))
+    from nvsr_tpu.ops.sampling import sample_pdf
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    s = np.asarray(sample_pdf(jax.random.PRNGKey(0), jnp.asarray(z_mid),
+                              jnp.asarray(weights[..., 1:-1]), 8, det=True))
+    ref = np.sort(np.concatenate([z_vals, s], -1), -1)
+    np.testing.assert_allclose(z, ref, atol=1e-6)
+
+
+def test_hierarchical_random_sorted_and_in_support(rng):
+    z_vals = np.tile(np.linspace(2.0, 6.0, 9, dtype=np.float32), (50, 1))
+    weights = rng.random((50, 9)).astype(np.float32)
+    z = np.asarray(hierarchical_z_vals(jax.random.PRNGKey(7),
+                                       jnp.asarray(z_vals),
+                                       jnp.asarray(weights), 16, det=False))
+    assert z.shape == (50, 25)
+    assert np.all(np.diff(z, axis=-1) >= -1e-6)
+    assert z.min() >= 2.0 - 1e-5 and z.max() <= 6.0 + 1e-5
