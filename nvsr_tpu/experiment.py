@@ -38,15 +38,16 @@ from nvsr_tpu.ops.rendering import img2mse, mse2psnr
 from nvsr_tpu.ops.resize import image_inconsistency_loss
 from nvsr_tpu.planes_store import (PlaneStore, PlanesBuffer,
                                    create_scene_planes,
-                                   decoder_tied_init_std)
+                                   decoder_tied_init_std,
+                                   materialize_pos_planes)
 from nvsr_tpu.render import (RenderConfig, make_baseline_point_fn,
                              make_ray_bundle, make_triplane_point_fn,
                              render_image)
 from nvsr_tpu.scenes import (Counter, ImageSampler, SceneCoupler,
                              get_scene_configs, subsample_eval_scenes)
-from nvsr_tpu.train import (ModuleOptimizer, StepFlags, select_patch_rays,
-                            select_random_rays, train_step,
-                            train_step_baseline)
+from nvsr_tpu.train import (ModuleOptimizer, PlateauScheduler, StepFlags,
+                            select_patch_rays, select_random_rays,
+                            train_step, train_step_baseline)
 from nvsr_tpu.utils.config import (CfgNode, assert_compatible_model_config,
                                    get_config)
 from nvsr_tpu.utils.io import load_pickle, save_pickle
@@ -677,11 +678,23 @@ class Experiment:
                     viewdir_channels=(self.model_cfg.viewdir_channels
                                       if self.model_cfg.use_viewdirs else 0),
                     init_std=init_std,
+                    rank_ratio=cfg.get_path(
+                        "models.coarse.planes_rank_ratio", None),
                     box=self.coords_normalization[scene])
                 self.store.save(scene, planes)
 
         store_opts = self.cfg.get_path("nerf.train.store_planes",
                                        CfgNode())
+        # plateau lr scheduler (reference train_nerf.py:590-592,968-969)
+        self.planes_lr_scheduler = None
+        sched = cfg.get_path("optimizer.lr_scheduler", None)
+        if sched is not None and not self.eval_mode:
+            patience = int(np.ceil(sched["patience"]
+                                   / cfg.experiment.get("print_every", 100)))
+            self.planes_lr_scheduler = PlateauScheduler(
+                lr=cfg.get_path("optimizer.planes_lr",
+                                cfg.get_path("optimizer.lr", 1e-3)),
+                patience=patience, factor=sched["factor"])
         self.planes_buffer = PlanesBuffer(
             self.store, self.training_scenes or list(self.i_val.keys()),
             lr=cfg.get_path("optimizer.planes_lr",
@@ -725,7 +738,7 @@ class Experiment:
         sr_scene = (self.sr_params is not None
                     and self.scene_coupler.should_SR(scene_id)
                     and not skip_sr)
-        pos = planes.planes_pos
+        pos = materialize_pos_planes(planes.planes_pos, planes.rank)
         fine_planes = pos
         coarse_planes = pos
         if sr_scene:
@@ -844,7 +857,8 @@ class Experiment:
                 im_inconsistency_loss_w=self.im_inconsistency_loss_w or 0.0,
                 ds_factor=coupler_ds,
                 share_coarse_fine=self.share_coarse_fine,
-                member=member)
+                member=member,
+                plane_rank=self.planes_buffer.get(scene_id).rank)
             planes = self.planes_buffer.get(scene_id)
             dc = self.decoder_coarse if self.decoder_opt is None \
                 else self.decoder_opt.params["dc"]
@@ -1114,6 +1128,11 @@ class Experiment:
                       % (iteration,
                          np.mean(print_loss) if print_loss else "n/a",
                          np.mean(print_psnr) if print_psnr else "n/a"))
+                if (self.planes_lr_scheduler is not None and print_loss
+                        and self.planes_model):
+                    self.planes_buffer.set_lr(
+                        self.planes_lr_scheduler.step(
+                            float(np.mean(print_loss))))
                 print_loss, print_psnr = [], []
 
             save_now = (self.scenes_cycle_counter.check_and_reset()

@@ -40,11 +40,17 @@ SUFFIX = "planes"
 
 @dataclass
 class ScenePlanes:
-    """Per-scene learnable state. planes_pos: [P, C, R, R];
-    plane_view: [Cv, Rv, Rv] or None; box: [2, 3+2*use_viewdirs]."""
+    """Per-scene learnable state.
+
+    planes_pos: [P, C, R, R] full planes, OR [P, C, R, 2k] low-rank
+    factors when rank is set (reference gen_plane low-rank expansion,
+    models.py:223-231: plane = A @ B^T with A = [..., :k], B = [..., k:]).
+    plane_view: [Cv, Rv, Rv] or None; box: [2, 3+2*use_viewdirs].
+    """
     planes_pos: jnp.ndarray
     plane_view: Optional[jnp.ndarray]
     box: np.ndarray
+    rank: Optional[int] = None
 
     def params(self) -> dict:
         p = {"pos": self.planes_pos}
@@ -57,18 +63,41 @@ class ScenePlanes:
                        plane_view=p.get("view", self.plane_view))
 
 
+def materialize_pos_planes(planes_pos, rank: Optional[int]):
+    """Expand low-rank factors to full planes (reference models.py:
+    227-229); identity when rank is None."""
+    if rank is None:
+        return planes_pos
+    a = planes_pos[..., :rank]                  # [P, C, R, k]
+    b = planes_pos[..., rank:]                  # [P, C, R, k]
+    return jnp.einsum("pcrk,pcsk->pcrs", a, b)
+
+
 def create_scene_planes(key, *, num_planes: int, num_channels: int,
                         resolution, viewdir_resolution=None,
                         viewdir_channels: int = 0, init_std: float,
-                        box, dtype=jnp.float32) -> ScenePlanes:
+                        box, rank_ratio: Optional[float] = None,
+                        dtype=jnp.float32) -> ScenePlanes:
     """Random-normal plane init with the decoder-tied STD
     (reference create_plane, models.py:436-439; STD wiring
-    models.py:556-566: init_std = STD_factor * std(fc_alpha.W))."""
+    models.py:556-566: init_std = STD_factor * std(fc_alpha.W)).
+
+    rank_ratio: when set, positional planes are stored as low-rank
+    factors [P, C, R, 2*ceil(rank_ratio*R)] with sqrt(init_std)
+    initialization so the product has ~init_std scale
+    (reference models.py:541,561-565)."""
     k1, k2 = jax.random.split(key)
     if not isinstance(resolution, (tuple, list)):
         resolution = (resolution, resolution)
-    planes_pos = init_std * jax.random.normal(
-        k1, (num_planes, num_channels, resolution[0], resolution[1]), dtype)
+    rank = None
+    if rank_ratio is not None:
+        rank = int(np.ceil(rank_ratio * resolution[0]))
+        planes_pos = np.sqrt(init_std) * jax.random.normal(
+            k1, (num_planes, num_channels, resolution[0], 2 * rank), dtype)
+    else:
+        planes_pos = init_std * jax.random.normal(
+            k1, (num_planes, num_channels, resolution[0], resolution[1]),
+            dtype)
     plane_view = None
     if viewdir_channels:
         if not isinstance(viewdir_resolution, (tuple, list)):
@@ -76,7 +105,7 @@ def create_scene_planes(key, *, num_planes: int, num_channels: int,
         plane_view = init_std * jax.random.normal(
             k2, (viewdir_channels, viewdir_resolution[0],
                  viewdir_resolution[1]), dtype)
-    return ScenePlanes(planes_pos, plane_view, np.asarray(box))
+    return ScenePlanes(planes_pos, plane_view, np.asarray(box), rank=rank)
 
 
 def decoder_tied_init_std(decoder_params, std_factor: float = 0.1,
@@ -122,6 +151,8 @@ class PlaneStore:
             "planes_pos": np.asarray(planes.planes_pos),
             "box": np.asarray(planes.box),
         }
+        if planes.rank is not None:
+            arrays["rank"] = np.asarray(planes.rank)
         if planes.plane_view is not None:
             arrays["plane_view"] = np.asarray(planes.plane_view)
         if opt_state is not None:
@@ -151,7 +182,8 @@ class PlaneStore:
             jnp.asarray(arrays["planes_pos"]),
             jnp.asarray(arrays["plane_view"])
             if "plane_view" in arrays else None,
-            arrays["box"])
+            arrays["box"],
+            rank=int(arrays["rank"]) if "rank" in arrays else None)
         opt_state = None
         if opt_state_template is not None:
             flat, treedef = jax.tree.flatten(opt_state_template)
@@ -187,7 +219,8 @@ class PlanesBuffer:
         self.frozen_scenes = set(frozen_scenes)
         self.optimize = optimize
         self.lr = lr
-        self.opt = optax.adam(lr, eps=1e-8)
+        self.opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, eps=1e-8)
         self.buffer_size = buffer_size or len(self.training_scenes)
         self.steps_per_buffer = steps_per_buffer
         if self.buffer_size >= len(self.training_scenes):
@@ -276,12 +309,18 @@ class PlanesBuffer:
         saved = self.scene2saved[scene]
         planes = self.resident[saved]
         params = planes.params()
-        updates, new_state = self.opt.update(grads, self.opt_states[saved],
-                                             params)
+        state = self.opt_states[saved]
+        state.hyperparams["learning_rate"] = jnp.asarray(
+            self.lr, dtype=jnp.float32)
+        updates, new_state = self.opt.update(grads, state, params)
         new_params = optax.apply_updates(params, updates)
         self.resident[saved] = planes.with_params(new_params)
         self.opt_states[saved] = new_state
         self.dirty.add(saved)
+
+    def set_lr(self, lr: float):
+        """Adjust the planes learning rate (plateau scheduler hook)."""
+        self.lr = float(lr)
 
     def step_cadence(self):
         """Advance the buffer clock; redraw when due. Returns the new

@@ -55,6 +55,7 @@ class StepFlags:
     ds_factor: int = 1                 # coupling ds factor (patch size)
     share_coarse_fine: bool = False    # models.fine.type == use_same
     member: int = 0                    # ensemble member for this step
+    plane_rank: Optional[int] = None   # low-rank plane factorization
 
 
 def _loss_weight(flags: StepFlags) -> float:
@@ -93,7 +94,9 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
         diff["sr"] = sr_params
 
     def loss_fn(diff):
-        planes_pos = diff["planes"]["pos"]
+        from nvsr_tpu.planes_store import materialize_pos_planes
+        planes_pos = materialize_pos_planes(diff["planes"]["pos"],
+                                            flags.plane_rank)
         plane_view = diff["planes"].get("view")
         dc = diff["dc"]
         df = diff["dc"] if flags.share_coarse_fine else diff["df"]
@@ -198,6 +201,37 @@ def train_step_baseline(decoder_coarse, decoder_fine, rays: RayBundle,
 # ---------------------------------------------------------------------------
 # Host-side trainer: optimizers, gating, virtual batches
 # ---------------------------------------------------------------------------
+
+class PlateauScheduler:
+    """ReduceLROnPlateau for the planes learning rate (reference
+    models.py:721-722, stepped from the driver at print cadence,
+    train_nerf.py:590-592,968-969)."""
+
+    def __init__(self, lr: float, patience: int, factor: float,
+                 min_lr: float = 0.0):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_steps = 0
+
+    def step(self, loss: float) -> float:
+        """Feed a smoothed loss; returns the (possibly reduced) lr."""
+        if loss < self.best:
+            self.best = loss
+            self.bad_steps = 0
+        else:
+            self.bad_steps += 1
+            if self.bad_steps > self.patience:
+                new_lr = max(self.lr * self.factor, self.min_lr)
+                if new_lr < self.lr:
+                    print(f"Reducing planes lr: {self.lr:.3e} -> "
+                          f"{new_lr:.3e}")
+                self.lr = new_lr
+                self.bad_steps = 0
+        return self.lr
+
 
 class ModuleOptimizer:
     """A single optax Adam over a params pytree with host-side gating."""

@@ -171,3 +171,51 @@ def test_plane_stats(tmp_path):
     assert stats["mean"].shape == (4,)
     assert stats["std"].shape == (4,)
     assert np.all(stats["std"] > 0)
+
+
+def test_low_rank_planes_roundtrip_and_materialize(tmp_path):
+    from nvsr_tpu.planes_store import materialize_pos_planes
+
+    box = np.stack([-np.ones(5), np.ones(5)]).astype(np.float32)
+    p = create_scene_planes(
+        jax.random.PRNGKey(0), num_planes=3, num_channels=4, resolution=16,
+        viewdir_resolution=4, viewdir_channels=4, init_std=0.05, box=box,
+        rank_ratio=0.25)
+    assert p.rank == 4
+    assert p.planes_pos.shape == (3, 4, 16, 8)  # [P,C,R,2k]
+    full = materialize_pos_planes(p.planes_pos, p.rank)
+    assert full.shape == (3, 4, 16, 16)
+    # A @ B^T definition (reference models.py:227-229)
+    a = np.asarray(p.planes_pos[..., :4])
+    b = np.asarray(p.planes_pos[..., 4:])
+    np.testing.assert_allclose(np.asarray(full[0, 0]), a[0, 0] @ b[0, 0].T,
+                               rtol=1e-5, atol=1e-6)
+    store = PlaneStore(str(tmp_path))
+    store.save("lr_scene", p)
+    loaded, _ = store.load("lr_scene")
+    assert loaded.rank == 4
+    np.testing.assert_array_equal(np.asarray(loaded.planes_pos),
+                                  np.asarray(p.planes_pos))
+
+
+def test_plateau_scheduler_and_buffer_lr(tmp_path):
+    from nvsr_tpu.train import PlateauScheduler
+
+    sched = PlateauScheduler(lr=1e-2, patience=2, factor=0.5)
+    assert sched.step(1.0) == 1e-2   # new best
+    assert sched.step(1.1) == 1e-2   # bad 1
+    assert sched.step(1.1) == 1e-2   # bad 2 == patience
+    assert sched.step(1.1) == 5e-3   # bad 3 > patience -> reduce
+    assert sched.step(0.5) == 5e-3   # new best, no change
+
+    buf = _make_buffer(tmp_path, ["a"])
+    buf.draw_scenes()
+    planes = buf.get("a")
+    g = {"pos": jnp.ones_like(planes.planes_pos),
+         "view": jnp.ones_like(planes.plane_view)}
+    buf.apply_grads("a", g)
+    before = np.asarray(buf.get("a").planes_pos).copy()
+    buf.set_lr(0.0)  # freeze via lr
+    buf.apply_grads("a", g)
+    np.testing.assert_allclose(np.asarray(buf.get("a").planes_pos), before,
+                               atol=1e-7)
