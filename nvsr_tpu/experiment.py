@@ -337,6 +337,7 @@ class Experiment:
         self.run_time_signature = time.time()
 
         # --- models ------------------------------------------------------
+        self.planes_lr_scheduler = None
         self._build_models()
         self._build_sr()
         self._build_optimizers()
