@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import optax
 
 from nvsr_tpu.scenes import SceneSampler
-from nvsr_tpu.utils.io import load_npz, save_npz
+from nvsr_tpu.utils import native_store
+from nvsr_tpu.utils.io import load_npz, safe_load, safe_save, save_npz
 
 SUFFIX = "planes"
 
@@ -120,11 +121,19 @@ class PlaneStore:
     [logdir/planes, models.planes_path/planes, pretrained/planes]
     (reference train_nerf.py:565-579, models.py:612-627)."""
 
-    def __init__(self, save_locations, run_time_signature: float = 0):
+    def __init__(self, save_locations, run_time_signature: float = 0,
+                 backend: str = "auto"):
+        """backend: 'native' (C codec, native/nvsr_native.cpp), 'npz', or
+        'auto' (native when the library builds). Loads sniff the file
+        magic, so both formats interoperate."""
         if isinstance(save_locations, str):
             save_locations = [save_locations]
         self.save_locations = list(save_locations)
         self.run_time_signature = run_time_signature
+        if backend == "auto":
+            backend = "native" if native_store.available() else "npz"
+        assert backend in ("native", "npz")
+        self.backend = backend
 
     def path(self, scene: str, model_name: str = "coarse",
              must_exist: bool = False, prefer_best: bool = False,
@@ -164,6 +173,11 @@ class PlaneStore:
         run_folder = os.path.dirname(path)
         run_folder = run_folder[:-len("/planes")] \
             if run_folder.endswith("/planes") else run_folder
+        if self.backend == "native":
+            return safe_save(path, lambda tmp: native_store.save_arrays(
+                tmp, arrays), SUFFIX, best=as_best,
+                run_time_signature=self.run_time_signature,
+                run_folder=run_folder)
         return save_npz(path, arrays, suffix=SUFFIX, best=as_best,
                         run_time_signature=self.run_time_signature,
                         run_folder=run_folder)
@@ -177,7 +191,13 @@ class PlaneStore:
         assert path, (
             f"Could not find the required feature planes file for scene "
             f"{scene} in {locations or self.save_locations}")
-        arrays = load_npz(path, suffix=SUFFIX, best=prefer_best)
+        def read_any(p):
+            if native_store.is_nvps_file(p):
+                return native_store.load_arrays(p)
+            with np.load(p, allow_pickle=False) as z:
+                return {k: z[k] for k in z.files}
+
+        arrays = safe_load(path, read_any, SUFFIX, best=prefer_best)
         planes = ScenePlanes(
             jnp.asarray(arrays["planes_pos"]),
             jnp.asarray(arrays["plane_view"])
