@@ -378,7 +378,10 @@ class Experiment:
         if self.resume_experiment and not eval_mode and os.path.exists(
                 self.experiment_info_file):
             saved = load_pickle(self.experiment_info_file)
+            running_state = saved.pop("running_scores", None)
             self.experiment_info.update(saved)
+            if running_state:
+                self.running.load_state_dict(running_state)
         self.saved_rgb_fine = {s: {} for s in self.evaluation_sequences}
         self.saved_target_ims = {v: set() for v in set(self.val_strings)}
         self.virtual_batch_size = cfg.get_path(
@@ -604,6 +607,7 @@ class Experiment:
             self.decoder_coarse = self.decoder_opt.params["dc"]
             if "df" in self.decoder_opt.params:
                 self.decoder_fine = self.decoder_opt.params["df"]
+        self.experiment_info["running_scores"] = self.running.state_dict()
         for model in self._models_to_save():
             prefix = "SR_checkpoint" if model == "SR" else "checkpoint"
             state = self._sr_state() if model == "SR" \

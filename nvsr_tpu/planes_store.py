@@ -270,6 +270,9 @@ class PlanesBuffer:
     def draw_scenes(self):
         """Flush + load a fresh buffer (reference models.py:683-726)."""
         self._flush()
+        if getattr(self, "_prefetch", None) is not None:
+            self._prefetch.join()
+            self._prefetch = None
         self.steps_since_drawing = 0
         self.cur_scenes = self.sampler.sample(
             self.buffer_size, just_shuffle=self.steps_per_buffer == -1)
@@ -291,7 +294,29 @@ class PlanesBuffer:
                 self.opt_states[saved] = (
                     opt_state if opt_state is not None
                     else self.opt.init(planes.params()))
+        self._start_prefetch()
         return self.cur_scenes
+
+    def _start_prefetch(self):
+        """Warm the page cache for the NEXT buffer's plane files on
+        background threads (native prefetcher) while training runs."""
+        if self.steps_per_buffer == -1:
+            return
+        try:
+            from nvsr_tpu.utils import native_store
+            if not native_store.available():
+                return
+            upcoming = list(self.sampler.sample_from[:self.buffer_size])
+            paths = []
+            for sc in upcoming:
+                saved = self.scene2saved.get(sc, sc)
+                path = self.store.path(saved, must_exist=True)
+                if path:
+                    paths.append(path)
+            if paths:
+                self._prefetch = native_store.Prefetcher(paths, n_threads=2)
+        except Exception:
+            self._prefetch = None
 
     def _opt_template(self, scene: str):
         if not self.optimize:
