@@ -51,6 +51,31 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return (255 * np.clip(np.asarray(img), 0, 1)).astype(np.uint8)
 
 
+def write_mp4(path: str, frames_u8, fps: int = 30) -> bool:
+    """30fps mp4 (reference train_nerf.py:271-273). Tries imageio's
+    ffmpeg backend, then cv2's VideoWriter; keeps PNGs on failure."""
+    try:
+        import imageio.v2 as imageio
+        imageio.mimwrite(path, frames_u8, fps=fps, macro_block_size=8)
+        return True
+    except Exception:
+        pass
+    try:
+        import cv2
+        h, w = frames_u8[0].shape[:2]
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise IOError("VideoWriter failed to open")
+        for frame in frames_u8:
+            writer.write(frame[..., ::-1])  # RGB -> BGR
+        writer.release()
+        return True
+    except Exception as e:
+        print(f"mp4 write failed ({e}); keeping PNGs only")
+        return False
+
+
 def annotate(img_u8: np.ndarray, text: str = None,
              psnr: float = None) -> np.ndarray:
     """PSNR/text overlay (reference cast_to_image,
@@ -168,11 +193,7 @@ class ExperimentLogger:
                     folder, "%s_%s_%s.mp4" % (
                         eval_name, scene_name,
                         os.path.basename(self.results_dir)))
-                try:
-                    imageio.mimwrite(vid, [to_uint8(im) for im in images],
-                                     fps=30, macro_block_size=8)
-                except Exception as e:  # ffmpeg may be absent
-                    print(f"mp4 write failed ({e}); keeping PNGs only")
+                write_mp4(vid, [to_uint8(im) for im in images], fps=30)
         elif self.writer is not None:
             self.writer.add_image(name, arrange_images(images, text, psnrs),
                                   iteration)
