@@ -40,6 +40,9 @@ def build_argparser():
     parser.add_argument("--max-iters", type=int, default=None,
                         help="Override experiment.train_iters (for smoke "
                              "runs).")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the run "
+                             "into this directory.")
     return parser
 
 
@@ -79,7 +82,12 @@ def main(argv=None):
     exp = Experiment(cfg, load_checkpoint=args.load_checkpoint,
                      eval_mode=eval_mode, results_path=args.results_path,
                      root_path=root_path)
-    exp.run(max_iters=args.max_iters)
+    if args.profile_dir:
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            exp.run(max_iters=args.max_iters)
+    else:
+        exp.run(max_iters=args.max_iters)
 
 
 if __name__ == "__main__":

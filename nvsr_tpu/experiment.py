@@ -53,7 +53,7 @@ from nvsr_tpu.utils.config import (CfgNode, assert_compatible_model_config,
 from nvsr_tpu.utils.io import load_pickle, save_pickle
 from nvsr_tpu.utils.logging import ExperimentLogger, RunningScores
 
-RUNNING_MEAN_LOGS = ["psnr", "SR_psnr_gain", "planes_SR", "fine_loss",
+RUNNING_MEAN_LOGS = ["psnr", "SR_psnr_gain", "planes_SR", "fine_loss", "rays_per_sec",
                      "fine_psnr", "loss", "coarse_loss", "inconsistency",
                      "loss_sr", "loss_lr", "im_inconsistency"]
 
@@ -1049,6 +1049,19 @@ class Experiment:
                 self.logger.write_scalar(f"{group}/fine_loss",
                                          float(np.nanmean(g["fine_loss"])),
                                          write_index)
+                if (eval_mode and self.evaluation_sequences[cycle]
+                        in self.scene_coupler.downsample_couples.values()):
+                    from nvsr_tpu.data.imresize import bicubic_interp
+                    sf = self.scene_coupler.ds_factor
+                    self.logger.write_images(
+                        f"{group}/rgb_bicubic",
+                        [bicubic_interp(im, sf) for im in g["rgb_fine"]],
+                        str(write_index), write_index)
+                    self.logger.write_images(
+                        f"{group}/rgb_LR",
+                        [np.repeat(np.repeat(im, sf, 0), sf, 1)
+                         for im in g["rgb_fine"]],
+                        str(write_index), write_index)
                 self.logger.write_images(
                     f"{group}/rgb_fine", g["rgb_fine"], str(write_index),
                     write_index,
@@ -1126,7 +1139,13 @@ class Experiment:
             if psnr is not None:
                 print_loss.append(loss)
                 print_psnr.append(psnr)
-            training_time += time.time() - t0
+            iter_time = time.time() - t0
+            training_time += iter_time
+            if iteration % print_every == 0:
+                rays = cfg.get_path("nerf.train.num_random_rays", 4096)
+                self.logger.write_scalar("train/rays_per_sec",
+                                         rays / max(iter_time, 1e-9),
+                                         iteration)
 
             if iteration % print_every == 0 or iteration == train_iters - 1:
                 print("[TRAIN] Iter: %d Loss: %s PSNR: %s"
