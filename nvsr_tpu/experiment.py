@@ -726,7 +726,22 @@ class Experiment:
             stop_coarse_grad=stop_coarse and mode == "train")
 
     def _point_fns_for_eval(self, scene_id, planes, skip_sr=False):
-        """Build (coarse, fine) point fns for a scene at eval time."""
+        """Build (coarse, fine) point fns for a scene at eval time.
+
+        Cached per (scene_id, skip_sr) within one evaluate() pass so the
+        plane SR runs once per scene, not once per eval image (the
+        reference's SR_planes cache, models.py:892-925)."""
+        cache = getattr(self, "_eval_pf_cache", None)
+        if cache is not None and (scene_id, skip_sr) in cache:
+            return cache[(scene_id, skip_sr)]
+        result = self._point_fns_for_eval_uncached(scene_id, planes,
+                                                   skip_sr)
+        if cache is not None:
+            cache[(scene_id, skip_sr)] = result
+        return result
+
+    def _point_fns_for_eval_uncached(self, scene_id, planes,
+                                     skip_sr=False):
         if not self.planes_model:
             ds_f = int(re.search(r"(?<=_DS)(\d)+",
                                  scene_id).group(0))
@@ -863,7 +878,10 @@ class Experiment:
                 ds_factor=coupler_ds,
                 share_coarse_fine=self.share_coarse_fine,
                 member=member,
-                plane_rank=self.planes_buffer.get(scene_id).rank)
+                plane_rank=self.planes_buffer.get(scene_id).rank,
+                train_planes=self.planes_buffer.optimize,
+                train_decoder=self.decoder_opt is not None,
+                train_sr=self.sr_opt is not None)
             planes = self.planes_buffer.get(scene_id)
             dc = self.decoder_coarse if self.decoder_opt is None \
                 else self.decoder_opt.params["dc"]
@@ -881,7 +899,8 @@ class Experiment:
                 dc, df, sr_p, planes.params(), jnp.asarray(planes.box),
                 rays, target, k, model_cfg=self.model_cfg,
                 sr_cfg=self.sr_cfg, rcfg=rcfg, flags=flags)
-            self.planes_buffer.apply_grads(scene_id, grads["planes"])
+            if "planes" in grads:
+                self.planes_buffer.apply_grads(scene_id, grads["planes"])
         else:
             flags = StepFlags(consistency_iter=consistency_iter,
                               im_inconsistency_loss_w=(
@@ -948,6 +967,7 @@ class Experiment:
     # evaluation (reference evaluate(), train_nerf.py:625-788)
     # ------------------------------------------------------------------
     def evaluate(self, iteration: int = 0):
+        self._eval_pf_cache = {}
         eval_mode = self.eval_mode
         if eval_mode:
             img_groups = [list(v) for v in self.i_val.values()]

@@ -60,6 +60,10 @@ class RenderConfig:
                 "radiance_field_noise_std", 0.0),
             use_viewdirs=nerf_cfg.get("use_viewdirs", True),
             mip=nerf_cfg.get("encode_position_fn", None) == "mip",
+            # the reference chunksize counts rays pre-sample-expansion
+            # (train_utils.py:228-235); our lax.map block is rays per
+            # block, scaled down to keep a block's point batch on-chip
+            ray_block=max(1024, mode_cfg.get("chunksize", 65536) // 16),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -56,6 +56,12 @@ class StepFlags:
     share_coarse_fine: bool = False    # models.fine.type == use_same
     member: int = 0                    # ensemble member for this step
     plane_rank: Optional[int] = None   # low-rank plane factorization
+    # which groups receive gradients; frozen groups are closed over as
+    # constants so the backward never touches them (e.g. the
+    # Feature_Planes_Only stage differentiates planes only)
+    train_planes: bool = True
+    train_decoder: bool = True
+    train_sr: bool = True
 
 
 def _loss_weight(flags: StepFlags) -> float:
@@ -84,22 +90,23 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
     Returns:
       (metrics dict, grads dict matching the differentiable inputs).
     """
-    diff = {"planes": plane_params}
-    if flags.share_coarse_fine:
+    diff = {}
+    if flags.train_planes:
+        diff["planes"] = plane_params
+    if flags.train_decoder:
         diff["dc"] = decoder_coarse
-    else:
-        diff["dc"] = decoder_coarse
-        diff["df"] = decoder_fine
-    if sr_params is not None:
+        if not flags.share_coarse_fine:
+            diff["df"] = decoder_fine
+    if sr_params is not None and flags.train_sr:
         diff["sr"] = sr_params
 
     def loss_fn(diff):
         from nvsr_tpu.planes_store import materialize_pos_planes
-        planes_pos = materialize_pos_planes(diff["planes"]["pos"],
-                                            flags.plane_rank)
-        plane_view = diff["planes"].get("view")
-        dc = diff["dc"]
-        df = diff["dc"] if flags.share_coarse_fine else diff["df"]
+        planes = diff.get("planes", plane_params)
+        planes_pos = materialize_pos_planes(planes["pos"], flags.plane_rank)
+        plane_view = planes.get("view")
+        dc = diff.get("dc", decoder_coarse)
+        df = dc if flags.share_coarse_fine else diff.get("df", decoder_fine)
 
         k_sr, k_render = jax.random.split(key)
         fine_planes = planes_pos
@@ -108,8 +115,8 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             sr_in = planes_pos
             if flags.detach_lr_planes:
                 sr_in = jax.lax.stop_gradient(sr_in)
-            sr_out = apply_plane_sr(diff["sr"], sr_cfg, sr_in, train=True,
-                                    noise_key=k_sr)
+            sr_out = apply_plane_sr(diff.get("sr", sr_params), sr_cfg,
+                                    sr_in, train=True, noise_key=k_sr)
             fine_planes = sr_out
             if flags.apply_sr_to_coarse:
                 coarse_planes = sr_out
