@@ -52,11 +52,21 @@ def main():
         skip_connect_every=3,
         gather_table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         compute_dtype=os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16"))
+    sr_factor = 4
+    lr_res = plane_res // sr_factor
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
-    decoder = init_decoder_params(k1, model_cfg, dtype=dtype)
-    planes = 0.03 * jax.random.normal(
-        k2, (3, model_cfg.num_plane_channels, plane_res, plane_res), dtype)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    # the flagship eval workflow (SURVEY §3.2): the coarse decoder reads
+    # the raw LR planes; the fine decoder reads the SR'd planes, which
+    # are super-resolved once per scene and cached across eval frames
+    # (reference SR_planes cache, models.py:892-925) — so the steady-
+    # state frame cost is gathers + decoders, with SR amortized out.
+    decoder_c = init_decoder_params(k1, model_cfg, dtype=dtype)
+    decoder_f = init_decoder_params(k4, model_cfg, dtype=dtype)
+    planes_lr = 0.03 * jax.random.normal(
+        k2, (3, model_cfg.num_plane_channels, lr_res, lr_res), dtype)
+    planes_sr = 0.03 * jax.random.normal(
+        k5, (3, model_cfg.num_plane_channels, plane_res, plane_res), dtype)
     plane_view = 0.03 * jax.random.normal(
         k3, (model_cfg.viewdir_channels, 32, 32), dtype)
     box = np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
@@ -68,13 +78,17 @@ def main():
     rcfg = RenderConfig(num_coarse=64, num_fine=64, perturb=False,
                         radiance_field_noise_std=0.0, ray_block=ray_block)
 
-    def render(decoder, planes, plane_view, rays, key):
-        pf = make_triplane_point_fn(decoder, model_cfg, planes, plane_view,
-                                    box)
-        out = render_rays_chunked(pf, pf, rays, key, rcfg)
+    def render(decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
+               rays, key):
+        pf_c = make_triplane_point_fn(decoder_c, model_cfg, planes_lr,
+                                      plane_view, box)
+        pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
+                                      plane_view, box)
+        out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
         return out.fine.rgb
 
     render_jit = jax.jit(render)
+    args = (decoder_c, decoder_f, planes_lr, planes_sr, plane_view)
     probe = jax.jit(jnp.sum)  # 4-byte sync point
 
     # Timing note: on this deployment dispatch is fully asynchronous and
@@ -82,15 +96,13 @@ def main():
     # only a host transfer does. We therefore chain `repeats` frames and
     # fetch a scalar reduction of the last output — the float() forces
     # completion of the whole chain while moving 4 bytes.
-    out = render_jit(decoder, planes, plane_view, rays,
-                     jax.random.PRNGKey(1))
+    out = render_jit(*args, rays, jax.random.PRNGKey(1))
     float(probe(out))  # warmup compile (render + probe)
 
     n_rays = H * W
     t0 = time.perf_counter()
     for i in range(repeats):
-        out = render_jit(decoder, planes, plane_view, rays,
-                         jax.random.PRNGKey(2 + i))
+        out = render_jit(*args, rays, jax.random.PRNGKey(2 + i))
     checksum = float(probe(out))
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)

@@ -21,7 +21,7 @@ from nvsr_tpu.data import llff as llff_mod
 from nvsr_tpu.data.blender import imread, load_blender_data
 from nvsr_tpu.data.imresize import im_resize
 from nvsr_tpu.ops.geometry import calc_scene_box
-from nvsr_tpu.scenes import get_scene_configs, get_scene_id
+from nvsr_tpu.scenes import get_scene_configs
 
 
 def parse_scene_suffix(basedir: str, base_ds_factor: int,

@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from nvsr_tpu.data.dataset import MultiSceneDataset
-from nvsr_tpu.models.nerf_mlp import (NeRFMLPConfig, apply_nerf_mlp,
-                                      init_nerf_mlp_params)
+from nvsr_tpu.models.nerf_mlp import NeRFMLPConfig, init_nerf_mlp_params
 from nvsr_tpu.models.plane_sr import (PlaneSRConfig, apply_plane_sr,
                                       init_plane_sr_params,
                                       sr_scale_factor)

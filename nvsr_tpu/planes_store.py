@@ -34,7 +34,7 @@ import optax
 
 from nvsr_tpu.scenes import SceneSampler
 from nvsr_tpu.utils import native_store
-from nvsr_tpu.utils.io import load_npz, safe_load, safe_save, save_npz
+from nvsr_tpu.utils.io import safe_load, safe_save, save_npz
 
 SUFFIX = "planes"
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import ast
 import re
-from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

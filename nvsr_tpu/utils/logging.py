@@ -10,7 +10,7 @@ per-scene PNG dirs / metrics.txt / 30fps mp4 in eval mode.
 from __future__ import annotations
 
 import os
-from collections import defaultdict, deque
+from collections import deque
 
 import numpy as np
 
