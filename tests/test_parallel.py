@@ -1,0 +1,129 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4: shard_map/psum logic without a pod)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvsr_tpu.models.plane_sr import PlaneSRConfig, init_plane_sr_params
+from nvsr_tpu.models.triplane import TriplaneConfig, init_decoder_params
+from nvsr_tpu.ops.geometry import get_ray_bundle
+from nvsr_tpu.parallel.sharding import (
+    data_sharding,
+    decoder_tp_shardings,
+    make_mesh,
+    plane_sr_tp_shardings,
+    replicate,
+    replicate_tree,
+)
+from nvsr_tpu.render import RenderConfig, make_ray_bundle
+from nvsr_tpu.train import StepFlags, train_step
+
+
+def _camera(eye):
+    eye = np.asarray(eye, dtype=np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]).astype(np.float32)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+    return c2w
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    cfg = TriplaneConfig(dec_channels=16, num_plane_channels=4,
+                         dec_density_layers=2, dec_rgb_layers=2)
+    dc = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    df = init_decoder_params(jax.random.PRNGKey(1), cfg)
+    sr_cfg = PlaneSRConfig(in_channels=4, out_channels=4, hidden_size=8,
+                           n_blocks=1, scale_factor=2)
+    sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
+    planes = {
+        "pos": jnp.asarray(0.1 * rng.standard_normal(
+            (3, 4, 12, 12)).astype(np.float32)),
+        "view": jnp.asarray(0.1 * rng.standard_normal(
+            (4, 6, 6)).astype(np.float32)),
+    }
+    box = np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                    [4, 4, 4, np.pi, np.pi / 2]]).astype(np.float32)
+    ro, rd = get_ray_bundle(8, 8, 10.0, jnp.asarray(_camera([3.0, 0, 0])))
+    rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
+    target = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+    rcfg = RenderConfig(num_coarse=6, num_fine=6, perturb=False)
+    return cfg, dc, df, sr_cfg, sr, planes, box, rays, target, rcfg
+
+
+def test_mesh_shapes(cpu_devices):
+    mesh = make_mesh(8, model_parallel=2, devices=cpu_devices)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh(8, devices=cpu_devices)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+
+
+def test_sharded_step_matches_unsharded(setup, cpu_devices):
+    """The dp x tp sharded training step must produce the same loss and
+    gradients as the single-device step."""
+    cfg, dc, df, sr_cfg, sr, planes, box, rays, target, rcfg = setup
+    flags = StepFlags(sr_iter=True)
+    key = jax.random.PRNGKey(0)
+
+    ref_metrics, ref_grads = train_step(
+        dc, df, sr, planes, jnp.asarray(box), rays, target, key,
+        model_cfg=cfg, sr_cfg=sr_cfg, rcfg=rcfg, flags=flags)
+
+    mesh = make_mesh(8, model_parallel=2, devices=cpu_devices)
+    dec_sh = decoder_tp_shardings(dc, mesh)
+    sr_sh = plane_sr_tp_shardings(sr, mesh)
+    with mesh:
+        step = jax.jit(
+            lambda dc, df, srp, pl, rays, target, key: train_step(
+                dc, df, srp, pl, jnp.asarray(box), rays, target, key,
+                model_cfg=cfg, sr_cfg=sr_cfg, rcfg=rcfg, flags=flags),
+            in_shardings=(dec_sh, dec_sh, sr_sh,
+                          replicate_tree(planes, mesh),
+                          jax.tree.map(lambda a: data_sharding(mesh, a.ndim),
+                                       rays),
+                          data_sharding(mesh, 2), replicate(mesh)))
+        metrics, grads = step(
+            jax.device_put(dc, dec_sh), jax.device_put(df, dec_sh),
+            jax.device_put(sr, sr_sh),
+            jax.device_put(planes, replicate_tree(planes, mesh)),
+            jax.tree.map(lambda a, s: jax.device_put(a, s), rays,
+                         jax.tree.map(lambda a: data_sharding(mesh, a.ndim),
+                                      rays)),
+            jax.device_put(target, data_sharding(mesh, 2)),
+            jax.device_put(key, replicate(mesh)))
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    for name in ("dc", "sr", "planes"):
+        for a, b in zip(jax.tree.leaves(grads[name]),
+                        jax.tree.leaves(ref_grads[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+
+
+def test_data_parallel_render_matches(setup, cpu_devices):
+    """Ray-sharded rendering equals single-device rendering."""
+    from nvsr_tpu.render import make_triplane_point_fn, render_rays
+
+    cfg, dc, _, _, _, planes, box, rays, _, rcfg = setup
+    pf = make_triplane_point_fn(dc, cfg, planes["pos"], planes["view"], box)
+    key = jax.random.PRNGKey(3)
+    ref = render_rays(pf, pf, rays, key, rcfg)
+
+    mesh = make_mesh(8, devices=cpu_devices)
+    rays_sh = jax.tree.map(lambda a: data_sharding(mesh, a.ndim), rays)
+    with mesh:
+        f = jax.jit(lambda rays, key: render_rays(pf, pf, rays, key, rcfg),
+                    in_shardings=(rays_sh, replicate(mesh)))
+        out = f(jax.tree.map(lambda a, s: jax.device_put(a, s), rays,
+                             rays_sh),
+                jax.device_put(key, replicate(mesh)))
+    np.testing.assert_allclose(np.asarray(out.fine.rgb),
+                               np.asarray(ref.fine.rgb), rtol=1e-5,
+                               atol=1e-6)
