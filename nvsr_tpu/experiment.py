@@ -125,6 +125,11 @@ class Experiment:
             os.makedirs(self.results_dir, exist_ok=True)
         if load_checkpoint == "resume":
             load_checkpoint = self.logdir
+        elif load_checkpoint == "" and eval_mode:
+            # evaluation of a trained experiment: the models live in its
+            # logdir (the reference reaches them through the eval-config
+            # override + --load-checkpoint; default there directly)
+            load_checkpoint = self.logdir
         elif load_checkpoint == "":
             if os.path.exists(self.logdir) and not eval_mode:
                 assert not [f for f in os.listdir(self.logdir)
