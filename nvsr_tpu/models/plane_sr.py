@@ -217,7 +217,13 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     """
     out = _conv(params["conv_input"], x)
     h = out
-    for blk in params["blocks"]:
+
+    # Each residual block is rematerialized: at production dims
+    # (256ch x 32 blocks over a padded 336^2 plane) storing every conv
+    # activation for the backward needs >8 GB — recomputing a block's
+    # two convs in the backward trades ~2x SR FLOPs for fitting HBM.
+    @jax.checkpoint
+    def block(blk, h):
         k_sz = blk["conv1"]["w"].shape[-1]
         if k_sz == 1:
             identity = h
@@ -225,7 +231,10 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
             m = 2 * (k_sz // 2)
             identity = h[..., m:-m, m:-m]
         y = _conv(blk["conv2"], jax.nn.relu(_conv(blk["conv1"], h)))
-        h = identity + 0.1 * y
+        return identity + 0.1 * y
+
+    for blk in params["blocks"]:
+        h = block(blk, h)
     h = _conv(params["conv_mid"], h)
     for up in params["upscale"]:
         h = pixel_shuffle(_conv(up, h), 2)
@@ -361,7 +370,15 @@ def apply_plane_sr(params, cfg: PlaneSRConfig, lr_planes, *, train=False,
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
     if cfg.arch == "EDSR":
-        diff = apply_edsr(params["inner"], cfg, x)
+        if train:
+            # sequential per-plane trunk during training: the remat
+            # boundaries (one activation per residual block) dominate
+            # HBM at production dims; batch-1 cuts that peak P-fold at
+            # unchanged FLOPs.
+            diff = jax.lax.map(
+                lambda p: apply_edsr(params["inner"], cfg, p[None])[0], x)
+        else:
+            diff = apply_edsr(params["inner"], cfg, x)
     else:
         diff = apply_srresnet(params["inner"], cfg, x, train=train)
     over = cfg.hr_overpadding
