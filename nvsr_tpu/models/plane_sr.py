@@ -84,6 +84,9 @@ class PlaneSRConfig:
     sr_input_noise: float = 0.0
     sr_output_noise: float = 0.0
     no_batch_norm: bool = False          # SRResNet only
+    # run convolutions in this dtype with f32 accumulation ('bfloat16'
+    # doubles MXU throughput); None = input dtype
+    compute_dtype: str = None
 
     @property
     def required_padding(self) -> int:
@@ -128,6 +131,7 @@ class PlaneSRConfig:
             sr_input_noise=sr_cfg.get("sr_input_noise", 0.0),
             sr_output_noise=sr_cfg.get("sr_output_noise", 0.0),
             no_batch_norm=model.get("no_batch_norm", False),
+            compute_dtype=model.get("compute_dtype", None),
         )
 
 
@@ -147,13 +151,23 @@ def _init_conv(key, in_ch: int, out_ch: int, k: int, bias: bool,
     return p
 
 
-def _conv(p, x, padding="VALID"):
-    """x: [N,C,H,W]; weight OIHW (torch layout for ckpt conversion)."""
+def _conv(p, x, padding="VALID", compute_dtype=None):
+    """x: [N,C,H,W]; weight OIHW (torch layout for ckpt conversion).
+
+    compute_dtype='bfloat16' casts operands (and the output) to bf16 —
+    the MXU still accumulates each conv in f32 internally, so the cost
+    is one bf16 rounding per layer. (preferred_element_type upcasting
+    is avoided: conv's transpose rule rejects mixed-dtype cotangents.)
+    """
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1), padding=padding,
+        x, w, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     if "b" in p:
-        y = y + p["b"][None, :, None, None]
+        y = y + p["b"][None, :, None, None].astype(y.dtype)
     return y
 
 
@@ -215,7 +229,8 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     (reference models.py:777-786), scale the residual by 0.1, and the
     trunk ends with PixelShuffle upscaling.
     """
-    out = _conv(params["conv_input"], x)
+    cd = cfg.compute_dtype
+    out = _conv(params["conv_input"], x, compute_dtype=cd)
     h = out
 
     # Each residual block is rematerialized: at production dims
@@ -230,15 +245,16 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
         else:
             m = 2 * (k_sz // 2)
             identity = h[..., m:-m, m:-m]
-        y = _conv(blk["conv2"], jax.nn.relu(_conv(blk["conv1"], h)))
+        y = _conv(blk["conv2"], jax.nn.relu(
+            _conv(blk["conv1"], h, compute_dtype=cd)), compute_dtype=cd)
         return identity + 0.1 * y
 
     for blk in params["blocks"]:
         h = block(blk, h)
-    h = _conv(params["conv_mid"], h)
+    h = _conv(params["conv_mid"], h, compute_dtype=cd)
     for up in params["upscale"]:
-        h = pixel_shuffle(_conv(up, h), 2)
-    return _conv(params["conv_output"], h)
+        h = pixel_shuffle(_conv(up, h, compute_dtype=cd), 2)
+    return _conv(params["conv_output"], h, compute_dtype=cd)
 
 
 # ---------------------------------------------------------------------------

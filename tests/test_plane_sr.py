@@ -180,3 +180,22 @@ def test_gradients_flow_through_sr(rng):
     gp, gpl = jax.grad(loss, argnums=(0, 1))(params, planes)
     assert float(jnp.abs(gp["inner"]["conv_input"]["w"]).sum()) > 0
     assert float(jnp.abs(gpl).sum()) > 0
+
+
+def test_bf16_compute_path(rng):
+    """bfloat16 conv path: close to f32 and differentiable."""
+    cfg32 = PlaneSRConfig(in_channels=4, out_channels=4, hidden_size=8,
+                          n_blocks=2, scale_factor=2)
+    cfg16 = PlaneSRConfig(in_channels=4, out_channels=4, hidden_size=8,
+                          n_blocks=2, scale_factor=2,
+                          compute_dtype="bfloat16")
+    params = init_plane_sr_params(jax.random.PRNGKey(0), cfg32)
+    planes = jnp.asarray(rng.standard_normal((2, 4, 10, 10)).astype(
+        np.float32))
+    o32 = np.asarray(apply_plane_sr(params, cfg32, planes))
+    o16 = np.asarray(apply_plane_sr(params, cfg16, planes))
+    assert o16.dtype == np.float32  # residual add restores f32
+    np.testing.assert_allclose(o16, o32, atol=2e-2)
+    g = jax.grad(lambda p: jnp.sum(
+        apply_plane_sr(p, cfg16, planes, train=True) ** 2))(params)
+    assert float(jnp.abs(g["inner"]["conv_input"]["w"]).sum()) > 0
