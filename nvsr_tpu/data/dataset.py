@@ -87,6 +87,11 @@ class MultiSceneDataset:
 
         self.eval_mode = eval_mode
         self.on_the_fly_load = len(specs) > threshold
+        if eval_mode and config.get("llff", {}).get("min_eval_frames"):
+            # interpolated video poses interleave None image slots
+            # (reference load_llff.py:104-105); only the on-the-fly item
+            # path handles them (load_blender.py:171-177)
+            self.on_the_fly_load = True
         self.images: list = []
         self.poses = np.zeros((0, 4, 4), dtype=np.float32)
         self.hwfDs: list = []
