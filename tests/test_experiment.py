@@ -215,3 +215,33 @@ def test_shipped_configs_parse():
         for key, scenes in dict(cfg.dataset["dir"].get("train", {})).items():
             from nvsr_tpu.scenes import parse_scene_group_key
             parse_scene_group_key(key)
+
+
+def test_module_confinement_blocks_decoder(corpus):
+    """A scene confined to 'decoder' never steps the decoder
+    (reference train_nerf.py:909, module_confinements gating)."""
+    cfg = _mini_cfg(corpus, logdir="logs/confined",
+                    train_groups={"4,8,8,'synt',1,['decoder']": ["lego"]},
+                    sr=False, what=("LR_planes", "decoder"), iters=4)
+    exp = Experiment(cfg, root_path=str(corpus))
+    before = np.asarray(
+        exp.decoder_opt.params["dc"]["members"][0]["fc_alpha"]["w"]).copy()
+    exp.run()
+    after = np.asarray(
+        exp.decoder_opt.params["dc"]["members"][0]["fc_alpha"]["w"])
+    np.testing.assert_array_equal(before, after)
+    # planes still trained
+    planes = exp.planes_buffer.get("lego_DS4_PlRes8_8")
+    assert exp.planes_buffer.dirty or exp.store.exists("lego_DS4_PlRes8_8")
+
+
+def test_separate_decoder_sr_gating(corpus):
+    """separate_decoder_sr freezes the decoder on SR (HR) iterations
+    (reference train_nerf.py:911-912)."""
+    cfg = _mini_cfg(
+        corpus, logdir="logs/sepdec",
+        train_groups={"4,8,8": ["lego"], "2,16,8": ["lego"]}, iters=6)
+    cfg.nerf.train["separate_decoder_sr"] = True
+    exp = Experiment(cfg, root_path=str(corpus))
+    exp.run()  # smoke: both LR and HR iterations occur without error
+    assert exp.scene_coupler.ds_factor == 2
