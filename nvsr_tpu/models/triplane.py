@@ -432,3 +432,24 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
         member=member, noise_key=noise_key,
         plane_resolution=plane_resolution, rot_mats=rot_mats)
     return out.reshape(r, s, 4)
+
+
+def make_density_fn(params, cfg: TriplaneConfig, planes_pos, box, *,
+                    member: int = 0, rot_mats=None):
+    """Density-only evaluator: [N,3] world xyz -> [N] sigma logits.
+
+    Runs just the density branch (no viewdir plane / rgb head); used by
+    occupancy estimation (ops/occupancy.py)."""
+    m = params["members"][member]
+
+    def density_fn(xyz_raw):
+        xyz = normalize_coords(xyz_raw, box[:, :3])
+        rot = rot_mats if rot_mats is not None \
+            else make_rot_mats(cfg.num_planes)
+        grids = project_to_planes(xyz, rot)
+        pos_projs = sample_planes(planes_pos, grids, cfg)
+        projected = combine_pos_planes(pos_projs, cfg.proj_combination)
+        _, alpha = _mlp_branch(m["density"], m["fc_alpha"], projected, cfg)
+        return alpha[..., 0]
+
+    return density_fn

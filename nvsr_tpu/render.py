@@ -100,6 +100,15 @@ def make_ray_bundle(ray_origins, ray_directions, near: float, far: float,
     return RayBundle(ro, rd, near_a, far_a, viewdirs)
 
 
+def tighten_bundle(rays: RayBundle, aabb) -> RayBundle:
+    """Tighten a bundle's per-ray [near, far] to the occupied AABB
+    (ops/occupancy.py); static shapes, opt-in sampling improvement."""
+    from nvsr_tpu.ops.occupancy import tighten_near_far
+    near, far = tighten_near_far(rays.origins, rays.directions, rays.near,
+                                 rays.far, aabb)
+    return rays._replace(near=near, far=far)
+
+
 class RenderResult(NamedTuple):
     coarse: RenderOutputs
     fine: Optional[RenderOutputs]

@@ -1,0 +1,78 @@
+"""Tests for occupancy-guided sampling-bound tightening."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvsr_tpu.ops.occupancy import estimate_occupied_box, tighten_near_far
+
+
+def test_estimate_box_finds_blob():
+    box = np.stack([-2 * np.ones(3), 2 * np.ones(3)]).astype(np.float32)
+
+    def density(pts):  # occupied ball at (0.5, 0, -0.5), radius ~0.4
+        d = jnp.sum((pts - jnp.asarray([0.5, 0.0, -0.5])) ** 2, -1)
+        return jnp.where(d < 0.16, 5.0, -5.0)
+
+    aabb = np.asarray(estimate_occupied_box(density, box, grid=32))
+    assert np.all(aabb[0] <= [0.1, -0.4, -0.9])
+    assert np.all(aabb[1] >= [0.9, 0.4, -0.1])
+    # much tighter than the scene box
+    assert np.all(aabb[0] > box[0] + 0.5)
+    assert np.all(aabb[1] < box[1] - 0.5)
+
+
+def test_estimate_box_empty_falls_back():
+    box = np.stack([-np.ones(3), np.ones(3)]).astype(np.float32)
+    aabb = np.asarray(estimate_occupied_box(
+        lambda p: -jnp.ones(p.shape[0]), box, grid=8))
+    np.testing.assert_allclose(aabb, box, atol=1e-6)
+
+
+def test_tighten_near_far_hit_and_miss():
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    ro = jnp.asarray([[-5.0, 0.0, 0.0],   # hits: t in [4, 6]
+                      [-5.0, 3.0, 0.0]])  # misses
+    rd = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    near = jnp.full((2, 1), 2.0)
+    far = jnp.full((2, 1), 10.0)
+    n2, f2 = tighten_near_far(ro, rd, near, far, aabb)
+    np.testing.assert_allclose(np.asarray(n2[0]), [4.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2[0]), [6.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n2[1]), [2.0])  # miss: unchanged
+    np.testing.assert_allclose(np.asarray(f2[1]), [10.0])
+
+
+def test_tighten_respects_original_bounds():
+    aabb = jnp.asarray([[-10.0, -10.0, -10.0], [10.0, 10.0, 10.0]])
+    ro = jnp.zeros((1, 3))
+    rd = jnp.asarray([[1.0, 0.0, 0.0]])
+    near = jnp.full((1, 1), 2.0)
+    far = jnp.full((1, 1), 6.0)
+    n2, f2 = tighten_near_far(ro, rd, near, far, aabb)
+    assert float(n2[0, 0]) >= 2.0 and float(f2[0, 0]) <= 6.0
+
+
+def test_density_fn_and_bundle_tightening(rng):
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params,
+                                          make_density_fn)
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import make_ray_bundle, tighten_bundle
+
+    cfg = TriplaneConfig(dec_channels=16, num_plane_channels=4,
+                         dec_density_layers=2, dec_rgb_layers=2)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(rng.standard_normal((3, 4, 8, 8)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    dfn = make_density_fn(params, cfg, planes, box)
+    sigma = dfn(jnp.zeros((5, 3)))
+    assert sigma.shape == (5,)
+    aabb = estimate_occupied_box(dfn, box, grid=8)
+    c2w = np.eye(4, dtype=np.float32); c2w[:3, 3] = [0, 0, 4]
+    ro, rd = get_ray_bundle(4, 4, 5.0, jnp.asarray(c2w))
+    rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
+    tightened = tighten_bundle(rays, aabb)
+    assert bool(jnp.all(tightened.near >= rays.near))
+    assert bool(jnp.all(tightened.far <= rays.far))
