@@ -84,6 +84,36 @@ def get_ray_bundle(height: int, width: int, focal, c2w,
     return ray_origins, ray_directions
 
 
+def get_rays_at(rows, cols, height, width, focal, c2w,
+                downsampling_offset=0.0):
+    """Ray origins/directions for SELECTED pixels only (jit-safe).
+
+    Computes the same rays as `get_ray_bundle(...)[rows, cols]`
+    (reference nerf_helpers.py:507-549 composed with the driver's random
+    ray subset, train_nerf.py:838-845) without materializing — or
+    transferring — the full H x W ray maps: the training loop only ever
+    consumes `num_random_rays` of them. height/width/focal/offset may be
+    traced scalars so one compilation serves every image size.
+
+    Returns (ray_origins [N,3], ray_directions [N,3]).
+    """
+    c2w = jnp.asarray(c2w)
+    dt = c2w.dtype
+    x = cols.astype(dt) + downsampling_offset
+    y = rows.astype(dt) + downsampling_offset
+    directions = jnp.stack(
+        [
+            (x - width * 0.5) / _focal_x(focal),
+            -(y - height * 0.5) / _focal_y(focal),
+            -jnp.ones_like(x),
+        ],
+        axis=-1,
+    )
+    ray_directions = jnp.sum(directions[..., None, :] * c2w[:3, :3], axis=-1)
+    ray_origins = jnp.broadcast_to(c2w[:3, -1], ray_directions.shape)
+    return ray_origins, ray_directions
+
+
 def ndc_rays(height, width, focal, near, rays_o, rays_d):
     """Shift ray origins to the near plane and project to NDC space.
 

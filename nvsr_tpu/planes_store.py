@@ -260,6 +260,18 @@ class PlanesBuffer:
         self.steps_since_drawing = 0
         self.cur_scenes: list[str] = []
 
+        def _apply(grads, state, params, lr):
+            state.hyperparams["learning_rate"] = lr
+            updates, new_state = self.opt.update(grads, state, params)
+            return optax.apply_updates(params, updates), new_state
+
+        # One fused, buffer-donating device program per step: planes and
+        # their Adam moments are the largest training state (hundreds of
+        # MB at production dims) — donating state+params updates them in
+        # place instead of allocating fresh copies per iteration. Grads
+        # are NOT donated (callers may legitimately reuse a grads tree).
+        self._apply = jax.jit(_apply, donate_argnums=(1, 2))
+
     # -- buffer management --------------------------------------------------
     def _flush(self):
         for scene in sorted(self.dirty):
@@ -353,12 +365,9 @@ class PlanesBuffer:
             return
         saved = self.scene2saved[scene]
         planes = self.resident[saved]
-        params = planes.params()
-        state = self.opt_states[saved]
-        state.hyperparams["learning_rate"] = jnp.asarray(
-            self.lr, dtype=jnp.float32)
-        updates, new_state = self.opt.update(grads, state, params)
-        new_params = optax.apply_updates(params, updates)
+        new_params, new_state = self._apply(
+            grads, self.opt_states[saved], planes.params(),
+            jnp.asarray(self.lr, dtype=jnp.float32))
         self.resident[saved] = planes.with_params(new_params)
         self.opt_states[saved] = new_state
         self.dirty.add(saved)

@@ -19,6 +19,7 @@ TPU-native re-design of the reference's rendering layer
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import numpy as np
@@ -95,6 +96,33 @@ def make_ray_bundle(ray_origins, ray_directions, near: float, far: float,
     if not no_ndc:
         h, w, focal = hwf
         ro, rd = ndc_rays(h, w, focal, 1.0, ro, rd)
+    near_a = jnp.full_like(rd[..., :1], near)
+    far_a = jnp.full_like(rd[..., :1], far)
+    return RayBundle(ro, rd, near_a, far_a, viewdirs)
+
+
+@partial(jax.jit, static_argnames=("use_viewdirs", "no_ndc"))
+def build_sampled_rays(pose, rows, cols, height, width, focal,
+                       downsampling_offset, near, far, *,
+                       use_viewdirs: bool, no_ndc: bool = True) -> RayBundle:
+    """RayBundle for SELECTED pixels of one view, as a single jitted
+    program.
+
+    Replaces the reference's materialize-then-subset pattern
+    (train_nerf.py:838-845 over full get_ray_bundle maps): the training
+    loop picks pixel indices host-side and only ever computes — and
+    keeps on-device — the `num_random_rays` rays it consumes.
+    height/width/focal/offset/near/far are traced scalars, so one
+    compilation serves every image size and scene.
+    """
+    from nvsr_tpu.ops.geometry import get_rays_at
+    ro, rd = get_rays_at(rows, cols, height, width, focal, pose,
+                         downsampling_offset)
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    if not no_ndc:
+        ro, rd = ndc_rays(height, width, focal, 1.0, ro, rd)
     near_a = jnp.full_like(rd[..., :1], near)
     far_a = jnp.full_like(rd[..., :1], far)
     return RayBundle(ro, rd, near_a, far_a, viewdirs)
