@@ -342,12 +342,14 @@ class Experiment:
 
         # --- models ------------------------------------------------------
         self.planes_lr_scheduler = None
+        self._build_mesh()
         self._build_models()
         self._build_sr()
         self._build_optimizers()
         if load_saved_models:
             self._load_checkpoints()
         self._build_planes()
+        self._place_params_on_mesh()
 
         # SR input normalization from corpus stats (train_nerf.py:606-608)
         if (self.sr_experiment and self.sr_params is not None
@@ -405,6 +407,84 @@ class Experiment:
                 and getattr(self, "sr_params", None) is not None):
             out.append("SR")
         return out
+
+    def _build_mesh(self):
+        """Multi-chip execution for the production workflows (SURVEY.md
+        §2.10, replacing the reference's single-device pick at
+        train_nerf.py:283-287): `experiment.data_parallel: true|N`
+        builds a ('data','model') mesh over the ICI-connected devices;
+        ray batches shard over 'data', module params replicate (or
+        tensor-shard over 'model' with `experiment.model_parallel: M`),
+        and XLA GSPMD inserts the gradient psums."""
+        self.mesh = None
+        self._replicate_sharding = None
+        cfg = self.cfg
+        dp = cfg.experiment.get("data_parallel", False)
+        if not dp:
+            return
+        from nvsr_tpu.parallel.sharding import make_mesh, replicate
+        n = jax.device_count() if dp is True else int(dp)
+        mp = int(cfg.experiment.get("model_parallel", 1))
+        if n <= 1:
+            return
+        assert n <= jax.device_count(), (
+            f"experiment.data_parallel={n} exceeds the "
+            f"{jax.device_count()} visible devices")
+        self.mesh = make_mesh(n, model_parallel=mp)
+        self._replicate_sharding = replicate(self.mesh)
+
+    def _place_params_on_mesh(self):
+        """Place module params/opt-states on the mesh (replicated, or
+        decoder/SR tensor-parallel when model_parallel > 1)."""
+        if self.mesh is None:
+            return
+        from nvsr_tpu.parallel.sharding import (decoder_tp_shardings,
+                                                plane_sr_tp_shardings)
+        rep = self._replicate_sharding
+        tp = self.mesh.shape["model"] > 1
+
+        def put_decoder(params):
+            if params is None:
+                return None
+            if tp and self.planes_model:
+                return jax.device_put(params,
+                                      decoder_tp_shardings(params, self.mesh))
+            return jax.device_put(params, rep)
+
+        def place_state(opt_obj):
+            # Adam moments must carry the PARAM shardings (not blanket
+            # replication) so the donated update is reshard-free: init a
+            # zero state from the placed params (zeros_like inherits the
+            # sharding) and re-place the live state leaf-by-leaf. Leaves
+            # the init creates from scratch (e.g. the step count) don't
+            # inherit a mesh sharding — replicate those.
+            mesh_devs = tuple(self.mesh.devices.flat)
+            template = opt_obj.opt.init(opt_obj.params)
+
+            def leaf_sharding(leaf):
+                s = leaf.sharding
+                m = getattr(s, "mesh", None)
+                if m is not None and tuple(m.devices.flat) == mesh_devs:
+                    return s
+                return rep
+
+            shardings = jax.tree.map(leaf_sharding, template)
+            opt_obj.state = jax.device_put(opt_obj.state, shardings)
+
+        self.decoder_coarse = put_decoder(self.decoder_coarse)
+        self.decoder_fine = put_decoder(self.decoder_fine)
+        if self.decoder_opt is not None:
+            self.decoder_opt.params = {
+                k: put_decoder(v) for k, v in self.decoder_opt.params.items()}
+            place_state(self.decoder_opt)
+        if getattr(self, "sr_params", None) is not None:
+            put_sr = (lambda p: jax.device_put(
+                p, plane_sr_tp_shardings(p, self.mesh))) if tp \
+                else (lambda p: jax.device_put(p, rep))
+            self.sr_params = put_sr(self.sr_params)
+            if self.sr_opt is not None:
+                self.sr_opt.params = self.sr_params
+                place_state(self.sr_opt)
 
     def _build_models(self):
         cfg = self.cfg
@@ -716,7 +796,8 @@ class Experiment:
             scene2saved=self.scene_coupler.scene2saved,
             do_when_reshuffling=lambda: self.scenes_cycle_counter.step(
                 print_str="Number of scene cycles performed: "),
-            rng=self.host_rng)
+            rng=self.host_rng,
+            placement=self._replicate_sharding)
 
     # ------------------------------------------------------------------
     # rendering helpers
@@ -815,7 +896,8 @@ class Experiment:
         self.key, k = jax.random.split(self.key)
         out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
                            near=sc_cfg["near"], far=sc_cfg["far"],
-                           no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal))
+                           no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
+                           mesh=self.mesh)
         return out, img
 
     def _scene_plane_res(self, scene_id: str):
@@ -869,6 +951,14 @@ class Experiment:
             use_viewdirs=cfg.nerf.get("use_viewdirs", True),
             no_ndc=bool(sc_cfg["no_ndc"]))
         target = jnp.asarray(np.asarray(target, dtype=np.float32))
+        if self.mesh is not None:
+            # rays/target shard over the data axis; params are already
+            # resident replicated/TP on the mesh — GSPMD inserts the
+            # gradient psums (SURVEY.md §2.10a/b)
+            from nvsr_tpu.parallel.sharding import data_sharding, shard_rays
+            rays = shard_rays(self.mesh, rays)
+            target = jax.device_put(
+                target, data_sharding(self.mesh, target.ndim))
 
         if first_vb:
             if self.decoder_opt is not None:

@@ -232,8 +232,12 @@ class PlanesBuffer:
                  steps_per_buffer: int = -1, optimize: bool = True,
                  frozen_scenes=(), scene2saved: Optional[dict] = None,
                  do_when_reshuffling: Callable = None,
-                 rng: np.random.Generator = None):
+                 rng: np.random.Generator = None, placement=None):
+        """placement: optional jax Sharding — resident planes and their
+        Adam states are placed with it on load (e.g. replicated over a
+        data-parallel mesh; SURVEY.md §2.10b)."""
         self.store = store
+        self.placement = placement
         self.training_scenes = list(training_scenes)
         self.scene2saved = scene2saved or {s: s for s in self.training_scenes}
         self.frozen_scenes = set(frozen_scenes)
@@ -301,6 +305,7 @@ class PlanesBuffer:
             planes, opt_state = self.store.load(
                 saved, prefer_best=frozen or not self.optimize,
                 opt_state_template=self._opt_template(saved))
+            planes, opt_state = self._place(planes, opt_state)
             self.resident[saved] = planes
             if self.optimize and not frozen:
                 self.opt_states[saved] = (
@@ -330,6 +335,18 @@ class PlanesBuffer:
         except Exception:
             self._prefetch = None
 
+    def _place(self, planes: ScenePlanes, opt_state):
+        if self.placement is None:
+            return planes, opt_state
+        planes = replace(
+            planes,
+            planes_pos=jax.device_put(planes.planes_pos, self.placement),
+            plane_view=(None if planes.plane_view is None else
+                        jax.device_put(planes.plane_view, self.placement)))
+        if opt_state is not None:
+            opt_state = jax.device_put(opt_state, self.placement)
+        return planes, opt_state
+
     def _opt_template(self, scene: str):
         if not self.optimize:
             return None
@@ -351,6 +368,7 @@ class PlanesBuffer:
             planes, opt_state = self.store.load(
                 saved, prefer_best=load_best,
                 opt_state_template=self._opt_template(saved))
+            planes, opt_state = self._place(planes, opt_state)
             self.resident[saved] = planes
             if self.optimize and scene not in self.frozen_scenes:
                 self.opt_states[saved] = (

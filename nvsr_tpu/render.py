@@ -194,13 +194,17 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
 
 
 def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
-                        key, rcfg: RenderConfig) -> RenderResult:
+                        key, rcfg: RenderConfig, mesh=None) -> RenderResult:
     """Memory-bounded render of arbitrarily many rays.
 
     Pads to a multiple of rcfg.ray_block and `lax.map`s the fused
     pipeline over fixed-shape blocks — the TPU replacement for the
     reference's serial Python chunk loop (train_utils.py:235-247). One
     compiled program serves every image size with the same block shape.
+
+    mesh: optional ('data','model') jax Mesh — each block's rays are
+    sharded over the data axis (params should be replicated or
+    tensor-sharded on the same mesh); XLA GSPMD inserts the collectives.
     """
     n = rays.origins.shape[0]
     block = min(rcfg.ray_block, max(n, 1))
@@ -220,6 +224,13 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
     blocks = RayBundle(*[
         None if f is None else f.reshape(n_blocks, block, *f.shape[1:])
         for f in padded])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        blocks = RayBundle(*[
+            None if f is None else jax.device_put(
+                f, NamedSharding(mesh, P(None, "data")))
+            for f in blocks])
+        keys = jax.device_put(keys, NamedSharding(mesh, P()))
     result = jax.lax.map(one_block, (keys, blocks))
 
     def unblock(t):
@@ -289,7 +300,7 @@ def make_baseline_point_fn(params, mlp_cfg, *, num_encoding_fn_xyz=6,
 
 def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                  key, rcfg: RenderConfig, *, near: float, far: float,
-                 no_ndc: bool = True, hwf=None) -> RenderResult:
+                 no_ndc: bool = True, hwf=None, mesh=None) -> RenderResult:
     """Full-image render: [H,W,3] ray maps -> maps with [H,W,...] leading
     shape (reference eval_nerf, train_utils.py:285-331)."""
     h, w = ray_origins.shape[:2]
@@ -297,7 +308,7 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                            use_viewdirs=rcfg.use_viewdirs, no_ndc=no_ndc,
                            hwf=hwf)
     result = render_rays_chunked(point_fn_coarse, point_fn_fine, rays, key,
-                                 rcfg)
+                                 rcfg, mesh=mesh)
 
     def reshape(out):
         if out is None:

@@ -1,0 +1,65 @@
+"""Mesh-integrated production workflows (SURVEY.md §2.10): the SAME
+Experiment train/eval paths run data-parallel over the 8-virtual-CPU
+mesh via `experiment.data_parallel`, with metrics equal to the
+unsharded run."""
+
+import numpy as np
+import pytest
+
+from helpers_synth import write_blender_scene
+from nvsr_tpu.experiment import Experiment
+from test_experiment import _mini_cfg
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_mesh")
+    write_blender_scene(str(root / "synt"), "lego", size=32)
+    write_blender_scene(str(root / "synt"), "ship", size=32)
+    return root
+
+
+def _run_steps(corpus, logdir, data_parallel, n_iters=4, model_parallel=1):
+    """Mini TrainModels (LR+HR couple, joint planes+decoder+SR) driven
+    through Experiment.train_iteration; returns (losses, psnrs, image)."""
+    cfg = _mini_cfg(
+        corpus, logdir=logdir,
+        train_groups={"4,8,8": ["lego", "ship"], "2,16,8": ["lego", "ship"]},
+        iters=n_iters)
+    if data_parallel:
+        cfg.experiment["data_parallel"] = data_parallel
+        if model_parallel > 1:
+            cfg.experiment["model_parallel"] = model_parallel
+    exp = Experiment(cfg, root_path=str(corpus))
+    if data_parallel:
+        assert exp.mesh is not None, "mesh not built from the config key"
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    for i in range(n_iters):
+        exp.train_iteration(i)
+    losses, psnrs = exp.flush_train_metrics()
+    scene = exp.evaluation_sequences[0]
+    img_idx = exp.i_val[scene][0]
+    out, _ = exp.render_eval_image(scene, img_idx)
+    rgb = np.asarray(out.fine.rgb if out.fine is not None else out.coarse.rgb)
+    return losses, psnrs, rgb
+
+
+def test_data_parallel_matches_unsharded(corpus):
+    l_ref, p_ref, img_ref = _run_steps(corpus, "logs/mesh_ref", False)
+    l_dp, p_dp, img_dp = _run_steps(corpus, "logs/mesh_dp", True)
+    assert len(l_ref) == len(l_dp) > 0
+    np.testing.assert_allclose(l_dp, l_ref, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(p_dp, p_ref, rtol=2e-4)
+    np.testing.assert_allclose(img_dp, img_ref, rtol=1e-4, atol=2e-5)
+
+
+def test_data_plus_model_parallel_runs(corpus):
+    """dp x tp (4x2) through the production step: finite metrics and an
+    eval render consistent with the unsharded run."""
+    l_ref, _, img_ref = _run_steps(corpus, "logs/mesh_ref2", False)
+    l_tp, _, img_tp = _run_steps(corpus, "logs/mesh_tp", 8,
+                                 model_parallel=2)
+    assert np.isfinite(l_tp).all()
+    np.testing.assert_allclose(l_tp, l_ref, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(img_tp, img_ref, rtol=1e-3, atol=1e-4)
