@@ -391,6 +391,7 @@ class Experiment:
         self.saved_rgb_fine = {s: {} for s in self.evaluation_sequences}
         self.saved_target_ims = {v: set() for v in set(self.val_strings)}
         self._pending_metrics = []
+        self._occ_last_update = {}
         self.virtual_batch_size = cfg.get_path(
             "nerf.train.virtual_batch_size", 1)
 
@@ -897,8 +898,64 @@ class Experiment:
         out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
                            near=sc_cfg["near"], far=sc_cfg["far"],
                            no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
-                           mesh=self.mesh)
+                           mesh=self.mesh,
+                           occ_aabb=self._occ_aabb_for(planes))
         return out, img
+
+    # ------------------------------------------------------------------
+    # occupancy-guided sampling bounds (TPU-native; ops/occupancy.py)
+    # ------------------------------------------------------------------
+    @property
+    def occupancy_cfg(self):
+        """nerf.train.occupancy.{enabled, grid, threshold, margin,
+        warmup_iters, update_every}: estimate each scene's occupied AABB
+        from its density field during training and tighten per-ray
+        [near, far] to it consistently in train AND eval. Applied during
+        training (not post-hoc), the field never learns mass outside the
+        box, so sample counts can drop at equal PSNR (PERF.md)."""
+        if not hasattr(self, "_occ_cfg"):
+            occ = self.cfg.get_path("nerf.train.occupancy", None)
+            if not occ or not occ.get("enabled", True):
+                self._occ_cfg = None
+            else:
+                self._occ_cfg = {
+                    "grid": occ.get("grid", 64),
+                    "threshold": occ.get("threshold", 0.0),
+                    "margin": occ.get("margin", 1.0),
+                    "warmup_iters": occ.get("warmup_iters", 300),
+                    "update_every": occ.get("update_every", 200),
+                }
+        return self._occ_cfg
+
+    def _maybe_update_occupancy(self, scene_id: str, iteration: int):
+        occ = self.occupancy_cfg
+        if occ is None or not self.planes_model \
+                or not self.planes_buffer.optimize:
+            return
+        if iteration < occ["warmup_iters"]:
+            return
+        last = self._occ_last_update.get(scene_id)
+        if last is not None and iteration - last < occ["update_every"]:
+            return
+        self._occ_last_update[scene_id] = iteration
+        from nvsr_tpu.models.triplane import make_density_fn
+        from nvsr_tpu.ops.occupancy import estimate_occupied_box
+        planes = self.planes_buffer.get(scene_id)
+        pos = materialize_pos_planes(planes.planes_pos, planes.rank)
+        dc = self.decoder_coarse if self.decoder_opt is None \
+            else self.decoder_opt.params["dc"]
+        density = make_density_fn(dc, self.model_cfg, pos,
+                                  jnp.asarray(planes.box),
+                                  rot_mats=self.rot_mats)
+        aabb = estimate_occupied_box(
+            density, planes.box, grid=occ["grid"],
+            threshold=occ["threshold"], margin=occ["margin"])
+        self.planes_buffer.set_occ_aabb(scene_id, np.asarray(aabb))
+
+    def _occ_aabb_for(self, planes) -> "np.ndarray | None":
+        if self.occupancy_cfg is None or planes is None:
+            return None
+        return planes.occ_aabb
 
     def _scene_plane_res(self, scene_id: str):
         """Plane resolution for point_coords_noise scaling (reference
@@ -972,6 +1029,11 @@ class Experiment:
                   if self.planes_model else 0)
 
         if self.planes_model:
+            self._maybe_update_occupancy(scene_id, iteration)
+            occ_aabb = self._occ_aabb_for(self.planes_buffer.get(scene_id))
+            if occ_aabb is not None:
+                from nvsr_tpu.render import tighten_bundle
+                rays = tighten_bundle(rays, jnp.asarray(occ_aabb))
             sr_loss_cfg = cfg.get_path("super_resolution.training.loss",
                                        "fine") if self.sr_experiment \
                 else "both"

@@ -52,6 +52,9 @@ class ScenePlanes:
     plane_view: Optional[jnp.ndarray]
     box: np.ndarray
     rank: Optional[int] = None
+    # occupied world AABB [2,3] from ops/occupancy.py (TPU-native
+    # sampling-bound tightening; None until estimated during training)
+    occ_aabb: Optional[np.ndarray] = None
 
     def params(self) -> dict:
         p = {"pos": self.planes_pos}
@@ -164,6 +167,8 @@ class PlaneStore:
             arrays["rank"] = np.asarray(planes.rank)
         if planes.plane_view is not None:
             arrays["plane_view"] = np.asarray(planes.plane_view)
+        if planes.occ_aabb is not None:
+            arrays["occ_aabb"] = np.asarray(planes.occ_aabb)
         if opt_state is not None:
             flat, _ = jax.tree.flatten(opt_state)
             for i, leaf in enumerate(flat):
@@ -203,7 +208,8 @@ class PlaneStore:
             jnp.asarray(arrays["plane_view"])
             if "plane_view" in arrays else None,
             arrays["box"],
-            rank=int(arrays["rank"]) if "rank" in arrays else None)
+            rank=int(arrays["rank"]) if "rank" in arrays else None,
+            occ_aabb=arrays.get("occ_aabb"))
         opt_state = None
         if opt_state_template is not None:
             flat, treedef = jax.tree.flatten(opt_state_template)
@@ -388,6 +394,15 @@ class PlanesBuffer:
             jnp.asarray(self.lr, dtype=jnp.float32))
         self.resident[saved] = planes.with_params(new_params)
         self.opt_states[saved] = new_state
+        self.dirty.add(saved)
+
+    def set_occ_aabb(self, scene: str, aabb):
+        """Record a freshly-estimated occupied AABB for this scene (it
+        persists with the planes and is used to tighten sampling
+        bounds in train AND eval)."""
+        saved = self.scene2saved[scene]
+        self.resident[saved] = replace(self.resident[saved],
+                                       occ_aabb=np.asarray(aabb))
         self.dirty.add(saved)
 
     def set_lr(self, lr: float):

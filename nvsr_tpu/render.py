@@ -300,13 +300,20 @@ def make_baseline_point_fn(params, mlp_cfg, *, num_encoding_fn_xyz=6,
 
 def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                  key, rcfg: RenderConfig, *, near: float, far: float,
-                 no_ndc: bool = True, hwf=None, mesh=None) -> RenderResult:
+                 no_ndc: bool = True, hwf=None, mesh=None,
+                 occ_aabb=None) -> RenderResult:
     """Full-image render: [H,W,3] ray maps -> maps with [H,W,...] leading
-    shape (reference eval_nerf, train_utils.py:285-331)."""
+    shape (reference eval_nerf, train_utils.py:285-331).
+
+    occ_aabb: optional [2,3] occupied AABB — per-ray [near, far] are
+    tightened to its slab intersection (must match how the scene was
+    trained; ops/occupancy.py)."""
     h, w = ray_origins.shape[:2]
     rays = make_ray_bundle(ray_origins, ray_directions, near, far,
                            use_viewdirs=rcfg.use_viewdirs, no_ndc=no_ndc,
                            hwf=hwf)
+    if occ_aabb is not None:
+        rays = tighten_bundle(rays, jnp.asarray(occ_aabb))
     result = render_rays_chunked(point_fn_coarse, point_fn_fine, rays, key,
                                  rcfg, mesh=mesh)
 

@@ -76,3 +76,44 @@ def test_density_fn_and_bundle_tightening(rng):
     tightened = tighten_bundle(rays, aabb)
     assert bool(jnp.all(tightened.near >= rays.near))
     assert bool(jnp.all(tightened.far <= rays.far))
+
+
+def test_experiment_occupancy_workflow(tmp_path):
+    """nerf.train.occupancy: the AABB is estimated during training,
+    persisted with the planes, and applied at eval."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers_synth import write_blender_scene
+    from test_experiment import _mini_cfg
+    from nvsr_tpu.experiment import Experiment
+
+    write_blender_scene(str(tmp_path / "synt"), "lego", size=32)
+    cfg = _mini_cfg(tmp_path, logdir="logs/occ",
+                    train_groups={"4,8,8": ["lego"]}, sr=False,
+                    what=("LR_planes", "decoder"), iters=4)
+    cfg.nerf.train["occupancy"] = {
+        "enabled": True, "grid": 16, "warmup_iters": 1, "update_every": 2}
+    exp = Experiment(cfg, root_path=str(tmp_path))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    scene = exp.training_scenes[0]
+    assert exp.planes_buffer.get(scene).occ_aabb is None
+    for i in range(4):
+        exp.train_iteration(i)
+    losses, _ = exp.flush_train_metrics()
+    assert np.isfinite(losses).all()
+    aabb = exp.planes_buffer.get(scene).occ_aabb
+    assert aabb is not None and aabb.shape == (2, 3)
+    box = exp.planes_buffer.get(scene).box
+    assert (aabb[0] >= box[0, :3] - 1e-5).all()
+    assert (aabb[1] <= box[1, :3] + 1e-5).all()
+
+    # persists through the store round-trip
+    exp.planes_buffer.save_params()
+    planes2, _ = exp.store.load(scene)
+    np.testing.assert_allclose(planes2.occ_aabb, aabb)
+
+    # eval renders with the tightened bounds (finite output)
+    img_idx = exp.i_val[list(exp.i_val.keys())[0]][0]
+    out, _ = exp.render_eval_image(scene, img_idx)
+    assert np.isfinite(np.asarray(out.fine.rgb)).all()
