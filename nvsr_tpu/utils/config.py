@@ -59,7 +59,29 @@ class CfgNode(dict):
             raise AttributeError(name) from e
 
     def __setitem__(self, key: str, value: Any) -> None:
+        if self.is_frozen():
+            raise AttributeError(
+                f"Attempted to set {key} on an immutable (frozen) CfgNode")
         super().__setitem__(key, self._convert(value))
+
+    # --- freeze (reference cfgnode.py freeze/defrost semantics) ------------
+    def freeze(self) -> "CfgNode":
+        """Make this config (and all sub-configs) immutable."""
+        object.__setattr__(self, "_frozen_", True)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+        return self
+
+    def defrost(self) -> "CfgNode":
+        object.__setattr__(self, "_frozen_", False)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+        return self
+
+    def is_frozen(self) -> bool:
+        return getattr(self, "_frozen_", False)
 
     # --- construction -----------------------------------------------------
     @classmethod
@@ -101,6 +123,48 @@ class CfgNode(dict):
                     pass
             node[parts[-1]] = value
         return self
+
+    # --- deprecated / renamed key registry (reference cfgnode.py:
+    # register_deprecated_key / register_renamed_key + the coercion in
+    # _check_and_coerce_cfg_value_type) --------------------------------
+    def register_deprecated_key(self, key: str) -> None:
+        object.__setattr__(self, "_deprecated_",
+                           getattr(self, "_deprecated_", set()) | {key})
+
+    def register_renamed_key(self, old: str, new: str,
+                             message: str = "") -> None:
+        ren = dict(getattr(self, "_renamed_", {}))
+        ren[old] = (new, message)
+        object.__setattr__(self, "_renamed_", ren)
+
+    def merge_from_other_cfg(self, other: Mapping,
+                             _prefix: str = "") -> "CfgNode":
+        """YACS-style merge: honors the deprecated/renamed registries
+        and coerces or rejects type-mismatched replacements."""
+        deprecated = getattr(self, "_deprecated_", set())
+        renamed = dict(getattr(self, "_renamed_", {}))
+        for k, v in dict(other).items():
+            full = f"{_prefix}{k}"
+            if full in deprecated:
+                print(f"Deprecated config key (ignoring): {full}")
+                continue
+            if full in renamed:
+                new, message = renamed[full]
+                raise KeyError(
+                    f"Key {full} was renamed to {new}"
+                    + (f"; {message}" if message else ""))
+            if isinstance(v, Mapping) and k in self \
+                    and isinstance(self[k], CfgNode):
+                self[k].merge_from_other_cfg(v, _prefix=f"{full}.")
+            elif k in self and not isinstance(self[k], CfgNode):
+                self[k] = _coerce_value_type(self._convert(v), self[k],
+                                             full)
+            else:
+                self[k] = self._convert(v)
+        return self
+
+    def merge_from_file(self, path: str) -> "CfgNode":
+        return self.merge_from_other_cfg(CfgNode.load_yaml(path))
 
     def set_defaults_from(self, source: Mapping) -> "CfgNode":
         """Recursively copy keys missing in self from `source`.
@@ -154,6 +218,30 @@ class CfgNode(dict):
 
     def __iter__(self) -> Iterator[str]:
         return iter(self.keys())
+
+
+def _coerce_value_type(new: Any, old: Any, key: str) -> Any:
+    """Coerce `new` to `old`'s type where YACS allows it (list<->tuple,
+    int->float); raise on other mismatches (reference cfgnode.py
+    _check_and_coerce_cfg_value_type)."""
+    if old is None or new is None or type(new) is type(old):
+        return new
+    if isinstance(old, tuple) and isinstance(new, list):
+        return tuple(new)
+    if isinstance(old, list) and isinstance(new, tuple):
+        return list(new)
+    if isinstance(old, float) and isinstance(new, int) \
+            and not isinstance(new, bool):
+        return float(new)
+    if isinstance(old, bool) != isinstance(new, bool):
+        raise ValueError(
+            f"Type mismatch ({type(old).__name__} vs "
+            f"{type(new).__name__}) for config key: {key}")
+    if isinstance(old, (int, float)) and isinstance(new, (int, float)):
+        return new
+    raise ValueError(
+        f"Type mismatch ({type(old).__name__} vs {type(new).__name__}) "
+        f"for config key: {key}")
 
 
 def get_config(path: str) -> CfgNode:

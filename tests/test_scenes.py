@@ -147,3 +147,33 @@ def test_subsample_eval_scenes():
     types = ["validation", "validation", "blind", "blind", "blind"]
     keep = subsample_eval_scenes(1, types, pick_first=True)
     assert len(keep) == 2  # one per group
+
+
+def test_cfgnode_freeze_and_registries():
+    """YACS-parity behaviors (reference cfgnode.py:36-507): freeze,
+    deprecated/renamed key registries, merge-time type coercion."""
+    import pytest
+    from nvsr_tpu.utils.config import CfgNode
+
+    cfg = CfgNode({"a": 1, "sub": {"b": 2.0, "lst": [1, 2]}})
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.a = 3
+    with pytest.raises(AttributeError):
+        cfg.sub["b"] = 4
+    cfg.defrost()
+    cfg.a = 3
+    assert cfg.a == 3
+
+    cfg.register_deprecated_key("old_key")
+    cfg.merge_from_other_cfg({"old_key": 9, "a": 5})  # ignored + merged
+    assert "old_key" not in cfg and cfg.a == 5
+
+    cfg.register_renamed_key("legacy", "sub.b", "use the new key")
+    with pytest.raises(KeyError):
+        cfg.merge_from_other_cfg({"legacy": 1})
+
+    cfg.merge_from_other_cfg({"sub": {"b": 7}})  # int -> float coercion
+    assert cfg.sub.b == 7.0 and isinstance(cfg.sub.b, float)
+    with pytest.raises(ValueError):
+        cfg.merge_from_other_cfg({"a": "not-an-int"})
