@@ -87,6 +87,15 @@ class PlaneSRConfig:
     # run convolutions in this dtype with f32 accumulation ('bfloat16'
     # doubles MXU throughput); None = input dtype
     compute_dtype: str = None
+    # EDSR tile size (LR pixels): when set, the plane is super-resolved
+    # in fixed-size overlapping tiles (halo = required_padding) instead
+    # of one full-plane conv stack. This is the TPU-native equivalent of
+    # the reference's ROI crop (models.py:884-926): VALID convolutions
+    # make each HR pixel depend on a bounded LR window, so tiling is
+    # EXACT while capping activation memory at O(tile^2) — the
+    # full-plane path stops fitting HBM beyond ~800^2 LR planes at
+    # production widths (PERF.md).
+    tile_size: int = None
 
     @property
     def required_padding(self) -> int:
@@ -132,6 +141,7 @@ class PlaneSRConfig:
             sr_output_noise=sr_cfg.get("sr_output_noise", 0.0),
             no_batch_norm=model.get("no_batch_norm", False),
             compute_dtype=model.get("compute_dtype", None),
+            tile_size=model.get("tile_size", None),
         )
 
 
@@ -255,6 +265,64 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     for up in params["upscale"]:
         h = pixel_shuffle(_conv(up, h, compute_dtype=cd), 2)
     return _conv(params["conv_output"], h, compute_dtype=cd)
+
+
+def _crop_overpadding(y, cfg: PlaneSRConfig):
+    over = cfg.hr_overpadding
+    if over > 0:
+        y = y[..., over:-over, over:-over]
+    return y
+
+
+def apply_edsr_tiled(params, cfg: PlaneSRConfig, x, orig_hw):
+    """Tile-wise EDSR over a pre-padded plane batch.
+
+    x: [N, C, Hp, Wp] where Hp = H + 2*required_padding (the same
+    replicate padding the full-plane path applies); orig_hw: (H, W) of
+    the unpadded plane. Returns exactly what `apply_edsr(x)` cropped by
+    hr_overpadding would: [N, C, s*H, s*W].
+
+    Geometry: the VALID stack maps input length n -> s*n - 2*s*raw_pad.
+    A tile of T LR rows plus its P-halo (T + 2P rows) therefore yields
+    s*T + 2*hr_overpadding HR rows; cropping the overpadding leaves the
+    tile's exact s*T HR rows. Each HR pixel sees the same input window
+    as in the full-plane run, so tiling is numerically equivalent.
+    """
+    h, w = orig_hw
+    pad = cfg.required_padding
+    over = cfg.hr_overpadding
+    s = cfg.scale_factor
+    t = int(cfg.tile_size)
+    nth, ntw = -(-h // t), -(-w // t)
+    # extend on the bottom/right so the tile grid covers the plane;
+    # edge values there cannot influence HR outputs inside [0, s*h)
+    eh, ew = nth * t + 2 * pad - x.shape[2], ntw * t + 2 * pad - x.shape[3]
+    if eh > 0 or ew > 0:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, max(eh, 0)), (0, max(ew, 0))),
+                    mode="edge")
+
+    tiles = []
+    for i in range(nth):
+        for j in range(ntw):
+            tiles.append(x[:, :, i * t:i * t + t + 2 * pad,
+                           j * t:j * t + t + 2 * pad])
+    tiles = jnp.stack(tiles)                       # [nt, N, C, t+2P, t+2P]
+    nt, n, c = tiles.shape[:3]
+    tiles = tiles.reshape(nt * n, c, t + 2 * pad, t + 2 * pad)
+
+    # one tile batch per step keeps peak activation memory at O(t^2)
+    def one(tile):
+        y = apply_edsr(params, cfg, tile[None])[0]
+        if over > 0:
+            y = y[..., over:-over, over:-over]
+        return y
+
+    out = jax.lax.map(one, tiles)                  # [nt*N, C, s*t, s*t]
+    out = out.reshape(nt, n, c, s * t, s * t)
+    rows = [jnp.concatenate([out[i * ntw + j] for j in range(ntw)], axis=-1)
+            for i in range(nth)]
+    full = jnp.concatenate(rows, axis=-2)          # [N, C, s*nth*t, ...]
+    return full[..., :s * h, :s * w]
 
 
 # ---------------------------------------------------------------------------
@@ -386,20 +454,25 @@ def apply_plane_sr(params, cfg: PlaneSRConfig, lr_planes, *, train=False,
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
     if cfg.arch == "EDSR":
-        if train:
+        if cfg.tile_size is not None:
+            # fixed-memory tiled path (exact; see apply_edsr_tiled)
+            diff = apply_edsr_tiled(params["inner"], cfg, x,
+                                    lr_planes.shape[-2:])
+        elif train:
             # sequential per-plane trunk during training: the remat
             # boundaries (one activation per residual block) dominate
             # HBM at production dims; batch-1 cuts that peak P-fold at
             # unchanged FLOPs.
             diff = jax.lax.map(
                 lambda p: apply_edsr(params["inner"], cfg, p[None])[0], x)
+            diff = _crop_overpadding(diff, cfg)
         else:
             diff = apply_edsr(params["inner"], cfg, x)
+            diff = _crop_overpadding(diff, cfg)
     else:
+        assert cfg.tile_size is None, \
+            "tile_size is only supported for the EDSR (VALID-conv) arch"
         diff = apply_srresnet(params["inner"], cfg, x, train=train)
-    over = cfg.hr_overpadding
-    if over > 0:
-        diff = diff[..., over:-over, over:-over]
 
     residual = upsample_plane(lr_planes, cfg.scale_factor,
                               mode=cfg.plane_interp,

@@ -199,3 +199,35 @@ def test_bf16_compute_path(rng):
     g = jax.grad(lambda p: jnp.sum(
         apply_plane_sr(p, cfg16, planes, train=True) ** 2))(params)
     assert float(jnp.abs(g["inner"]["conv_input"]["w"]).sum()) > 0
+
+
+def test_tiled_edsr_matches_full_plane():
+    """tile_size path == full-plane path exactly (VALID convs make
+    tiling with a required_padding halo lossless), including non-tile-
+    multiple plane sizes and gradients."""
+    import jax
+
+    cfg_full = PlaneSRConfig(in_channels=3, out_channels=3, hidden_size=8,
+                             n_blocks=2, scale_factor=2)
+    cfg_tile = PlaneSRConfig(**{**cfg_full.__dict__, "tile_size": 7})
+    key = jax.random.PRNGKey(0)
+    params = init_plane_sr_params(key, cfg_full)
+    lr = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 19, 23))
+
+    full = apply_plane_sr(params, cfg_full, lr)
+    tiled = apply_plane_sr(params, cfg_tile, lr)
+    assert tiled.shape == full.shape == (2, 3, 38, 46)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss_full(p):
+        return jnp.sum(apply_plane_sr(p, cfg_full, lr) ** 2)
+
+    def loss_tile(p):
+        return jnp.sum(apply_plane_sr(p, cfg_tile, lr) ** 2)
+
+    g_full = jax.grad(loss_full)(params)
+    g_tile = jax.grad(loss_tile)(params)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_tile)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
