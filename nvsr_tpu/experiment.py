@@ -392,6 +392,7 @@ class Experiment:
         self.saved_target_ims = {v: set() for v in set(self.val_strings)}
         self._pending_metrics = []
         self._occ_last_update = {}
+        self._plane_coverage = None
         self.virtual_batch_size = cfg.get_path(
             "nerf.train.virtual_batch_size", 1)
 
@@ -916,6 +917,10 @@ class Experiment:
             scene_id.replace("_train", ""), "synt")
         sc_cfg = self.cfg.dataset[scene_type]
         rcfg = self._mode_render_cfg("validation", scene_id)
+        if self.planes_model and self.cfg.get_path(
+                "models.coarse.plane_stats", False):
+            self._update_plane_coverage(scene_id, planes, ro, rd, sc_cfg,
+                                        rcfg)
         self.key, k = jax.random.split(self.key)
         out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
                            near=sc_cfg["near"], far=sc_cfg["far"],
@@ -1187,6 +1192,33 @@ class Experiment:
             psnrs.append(float(row[3]))
         self._pending_metrics = []
         return losses, psnrs
+
+    def _update_plane_coverage(self, scene_id, planes, ro, rd, sc_cfg,
+                               rcfg):
+        """plane_stats debug histograms (reference models.py:328-352):
+        log which plane texels the eval view's projected sample grids
+        touch; PNGs land in <logdir>/coverage."""
+        from nvsr_tpu.models.triplane import project_to_planes
+        from nvsr_tpu.ops.geometry import normalize_coords
+        from nvsr_tpu.scenes import get_plane_name
+        from nvsr_tpu.utils.coverage import PlaneCoverage
+
+        if self._plane_coverage is None:
+            names = [get_plane_name(s, d)
+                     for s in self.scene_coupler.scene2saved.values()
+                     for d in range(self.model_cfg.num_planes)]
+            self._plane_coverage = PlaneCoverage(sorted(set(names)))
+        ro = np.asarray(ro).reshape(-1, 3)[::64]
+        rd = np.asarray(rd).reshape(-1, 3)[::64]
+        z = np.linspace(sc_cfg["near"], sc_cfg["far"], rcfg.num_coarse)
+        pts = ro[:, None, :] + rd[:, None, :] * z[None, :, None]
+        xyz = normalize_coords(jnp.asarray(pts.reshape(-1, 3)),
+                               jnp.asarray(planes.box[:, :3]))
+        grids = np.asarray(project_to_planes(xyz, self.rot_mats))
+        saved = self.scene_coupler.scene2saved.get(scene_id, scene_id)
+        for d in range(grids.shape[0]):
+            self._plane_coverage.update(get_plane_name(saved, d), grids[d])
+        self._plane_coverage.save(os.path.join(self.logdir, "coverage"))
 
     # ------------------------------------------------------------------
     # evaluation (reference evaluate(), train_nerf.py:625-788)

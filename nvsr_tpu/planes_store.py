@@ -435,6 +435,28 @@ class PlanesBuffer:
             return self.draw_scenes()
         return None
 
+    def jump_start(self, config=None, on: bool = True):
+        """Curriculum warm-up (reference jump_start, models.py:748-765):
+        on=True pins training to the first `config[0]` scenes (fraction
+        or count) with the buffer redraw suspended until the caller's
+        loss criterion is met; on=False restores the redraw cadence and
+        redraws. Returns num_scenes (on) or the new scene list (off)."""
+        if on:
+            num_scenes = config[0]
+            if isinstance(num_scenes, float):
+                num_scenes = int(np.ceil(num_scenes
+                                         * len(self.sampler.scenes)))
+            self._jump_start_memory = {
+                "steps_per_buffer": self.steps_per_buffer}
+            self.sampler.sample_from = []
+            self.steps_per_buffer = -1
+            return num_scenes
+        self.steps_per_buffer = \
+            self._jump_start_memory["steps_per_buffer"]
+        self.sampler.sample_from = []
+        self.draw_scenes()
+        return self.cur_scenes
+
     def save_params(self, as_best: bool = False):
         """Write planes back to disk; as_best snapshots all training
         scenes (reference models.py:640-670)."""

@@ -245,3 +245,31 @@ def test_separate_decoder_sr_gating(corpus):
     exp = Experiment(cfg, root_path=str(corpus))
     exp.run()  # smoke: both LR and HR iterations occur without error
     assert exp.scene_coupler.ds_factor == 2
+
+
+def test_plane_coverage_and_jump_start(corpus):
+    """plane_stats debug histograms (reference models.py:328-352) and
+    the jump_start curriculum hook (models.py:748-765)."""
+    cfg = _mini_cfg(corpus, logdir="logs/coverage",
+                    train_groups={"4,8,8": ["lego", "ship"]}, sr=False,
+                    what=("LR_planes", "decoder"), iters=2)
+    cfg.models.coarse["plane_stats"] = True
+    exp = Experiment(cfg, root_path=str(corpus))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    exp.evaluate(0)
+    cov_dir = os.path.join(exp.logdir, "coverage")
+    pngs = os.listdir(cov_dir)
+    assert any(f.startswith("plane_coverage_") for f in pngs)
+    assert any(f.endswith("_coverage.png")
+               and not f.startswith("plane_coverage_") for f in pngs)
+    counts = exp._plane_coverage.counts
+    assert any(c.sum() > 0 for c in counts.values())
+
+    buf = exp.planes_buffer
+    spb_before = buf.steps_per_buffer
+    n = buf.jump_start(config=[0.5, 1e-3], on=True)
+    assert n == 1 and buf.steps_per_buffer == -1
+    scenes = buf.jump_start(on=False)
+    assert buf.steps_per_buffer == spb_before
+    assert set(scenes) == set(buf.cur_scenes)
