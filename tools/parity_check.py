@@ -33,7 +33,75 @@ REPO = os.path.dirname(TOOLS)
 sys.path.insert(0, REPO)
 
 SCENE = "blob"
-EXP_ID = "ref_parity"
+
+CONFIG_TMPL_MIP = """\
+experiment:
+  logdir: {logdir}
+  id: ref_parity_mip
+  randomseed: 0
+  train_iters: {iters}
+  validate_every: 250
+  save_every: 1000000
+  print_every: 50
+dataset:
+  synt:
+    root: datasets
+    near: 2
+    far: 6
+    no_ndc: True
+  llff:
+    root: datasets
+    near: 0
+    far: 1
+    no_ndc: False
+  dir:
+    train:
+      4,: ['blob']
+    val:
+      2,: ['blob']
+  prob_assigned2scene_groups: False
+  testskip: 1
+  llffhold: 2
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 4
+    hidden_size: 64
+    skip_connect_every: 3
+    include_input_xyz: True
+    num_encoding_fn_xyz: 6
+    use_viewdirs: True
+    include_input_dir: True
+    num_encoding_fn_dir: 4
+  fine:
+    type: FlexibleNeRFModel
+optimizer:
+  type: Adam
+  lr: 1.0E-3
+nerf:
+  use_viewdirs: True
+  encode_position_fn: mip
+  encode_direction_fn: positional_encoding
+  train:
+    num_random_rays: 512
+    chunksize: 65536
+    perturb: True
+    num_coarse: 24
+    num_fine: 24
+    white_background: False
+    im_inconsistency_loss_w: 1
+    im_consistency_iters_freq: 0.25
+    radiance_field_noise_std: 0.2
+    lindisp: False
+  validation:
+    chunksize: 65536
+    perturb: False
+    num_coarse: 24
+    num_fine: 24
+    white_background: False
+    radiance_field_noise_std: 0.
+    lindisp: False
+"""
 
 CONFIG_TMPL = """\
 experiment:
@@ -119,19 +187,25 @@ def ensure_scene(ws, size):
     return scene_dir
 
 
-def write_cfg(ws, name, logdir, iters):
+def write_cfg(ws, name, logdir, iters, mode="planes"):
     os.makedirs(os.path.join(ws, "config"), exist_ok=True)
     with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
         f.write(f"root: {ws}\n")
     path = os.path.join(ws, "config", name)
+    tmpl = CONFIG_TMPL if mode == "planes" else CONFIG_TMPL_MIP
     with open(path, "w") as f:
-        f.write(CONFIG_TMPL.format(logdir=logdir, iters=iters))
+        f.write(tmpl.format(logdir=logdir, iters=iters))
     return path
 
 
-def reference_train_and_eval(ws, iters):
+def exp_id(mode):
+    return "ref_parity" if mode == "planes" else "ref_parity_mip"
+
+
+def reference_train_and_eval(ws, iters, mode="planes"):
+    EXP_ID = exp_id(mode)
     ref_logdir = os.path.join(ws, "logs", EXP_ID)
-    cfg = write_cfg(ws, "parity.yml", "logs", iters)
+    cfg = write_cfg(ws, f"parity_{mode}.yml", "logs", iters, mode)
     if not any(f.endswith(".ckpt_best")
                for f in (os.listdir(ref_logdir)
                          if os.path.isdir(ref_logdir) else [])):
@@ -155,43 +229,53 @@ def reference_train_and_eval(ws, iters):
     return ref_logdir, results, metrics
 
 
-def parse_reference_metrics(metrics_path, results_dir):
-    """(mean psnr from metrics.txt, per-image PSNRs from filenames)."""
-    mean_psnr = None
-    with open(metrics_path) as f:
-        for line in f:
-            m = re.match(r".*/psnr: ([\d.]+)", line.strip())
-            if m:
-                mean_psnr = float(m.group(1))
-    per_image = {}
+def parse_reference_metrics(results_dir):
+    """Mean PSNR over all eval images, from the per-image PSNRs the
+    reference embeds in its output PNG names (plus the per-image list)."""
+    per_image = []
     for root, _, files in os.walk(results_dir):
         if os.path.basename(root).endswith("fine"):
-            for fn in files:
+            for fn in sorted(files):
                 m = re.match(r"(\d+)_PSNR(\d+)_(\d+)\.png", fn)
                 if m:
-                    per_image[int(m.group(1))] = float(
-                        f"{m.group(2)}.{m.group(3)}")
-    assert mean_psnr is not None, "no psnr in reference metrics.txt"
-    return mean_psnr, per_image
+                    per_image.append(float(f"{m.group(2)}.{m.group(3)}"))
+    assert per_image, "no per-image PSNRs in reference results"
+    return float(np.mean(per_image)), per_image
 
 
-def convert_to_ours(ws, ref_logdir):
+def convert_to_ours(ws, ref_logdir, mode="planes"):
     """Reference torch artifacts -> our checkpoint/planes layout under
-    <ws>/logs_ours/ref_parity."""
-    from nvsr_tpu.convert import (convert_par_file, convert_triplane_decoder,
+    <ws>/logs_ours/<exp_id>."""
+    from nvsr_tpu.convert import (convert_nerf_mlp, convert_par_file,
+                                  convert_triplane_decoder,
                                   load_torch_checkpoint)
     from nvsr_tpu.planes_store import PlaneStore, ScenePlanes
     from nvsr_tpu.utils.config import get_config
     from nvsr_tpu.utils.io import save_pickle
 
+    EXP_ID = exp_id(mode)
     ours_logdir = os.path.join(ws, "logs_ours", EXP_ID)
     os.makedirs(os.path.join(ours_logdir, "planes"), exist_ok=True)
 
     ckpt = load_torch_checkpoint(
         os.path.join(ref_logdir, "checkpoint.ckpt_best"))
+    cfg_path = write_cfg(ws, f"parity_{mode}_ours.yml", "logs_ours",
+                         0, mode)
+    cfg = get_config(cfg_path)
+    if mode == "mip":
+        state = {
+            "model_coarse_state_dict": convert_nerf_mlp(
+                ckpt["model_coarse_state_dict"]),
+            "model_fine_state_dict": convert_nerf_mlp(
+                ckpt["model_fine_state_dict"]),
+        }
+        save_pickle(os.path.join(ours_logdir, "checkpoint.ckpt"), state,
+                    suffix="ckpt", best=True)
+        with open(os.path.join(ours_logdir, "config.yml"), "w") as f:
+            f.write(cfg.dump())
+        return ours_logdir
     coarse, rot = convert_triplane_decoder(ckpt["model_coarse_state_dict"])
     fine, _ = convert_triplane_decoder(ckpt["model_fine_state_dict"])
-    cfg = get_config(os.path.join(ws, "config", "parity_ours.yml"))
     state = {
         "model_coarse_state_dict": coarse,
         "model_fine_state_dict": fine,
@@ -223,14 +307,14 @@ def convert_to_ours(ws, ref_logdir):
     return ours_logdir
 
 
-def evaluate_ours(ws, iters):
+def evaluate_ours(ws, iters, mode="planes"):
     from nvsr_tpu.experiment import Experiment
     from nvsr_tpu.ops.rendering import mse2psnr
     import jax.numpy as jnp
 
-    write_cfg(ws, "parity_ours.yml", "logs_ours", iters)
+    write_cfg(ws, f"parity_{mode}_ours.yml", "logs_ours", iters, mode)
     from nvsr_tpu.utils.config import get_config
-    cfg = get_config(os.path.join(ws, "config", "parity_ours.yml"))
+    cfg = get_config(os.path.join(ws, "config", f"parity_{mode}_ours.yml"))
     exp = Experiment(cfg, eval_mode="images",
                      results_path=os.path.join(ws, "results_ours"),
                      root_path=ws)
@@ -246,19 +330,27 @@ def main():
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--size", type=int, default=100)
     ap.add_argument("--tol", type=float, default=0.1)
+    ap.add_argument("--mode", choices=["planes", "mip"], default="planes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for our eval (numerics "
+                         "are platform-independent at these tolerances)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     ws = os.path.abspath(args.workdir)
     os.makedirs(ws, exist_ok=True)
 
     ensure_scene(ws, args.size)
-    ref_logdir, results, metrics = reference_train_and_eval(ws, args.iters)
-    ref_psnr, ref_per_image = parse_reference_metrics(metrics, results)
-    write_cfg(ws, "parity_ours.yml", "logs_ours", args.iters)
-    convert_to_ours(ws, ref_logdir)
-    ours_psnr, ours_per_image = evaluate_ours(ws, args.iters)
+    ref_logdir, results, metrics = reference_train_and_eval(
+        ws, args.iters, args.mode)
+    ref_psnr, ref_per_image = parse_reference_metrics(results)
+    convert_to_ours(ws, ref_logdir, args.mode)
+    ours_psnr, ours_per_image = evaluate_ours(ws, args.iters, args.mode)
 
     delta = ours_psnr - ref_psnr
     print(json.dumps({
+        "mode": args.mode,
         "reference_psnr": round(ref_psnr, 4),
         "ours_psnr": round(ours_psnr, 4),
         "delta_db": round(delta, 4),
