@@ -1,0 +1,102 @@
+"""Validate that occupancy-tightened sampling halves the sample budget
+at equal PSNR (the bench.py default configuration).
+
+Trains the planes workflow on the analytic blob scene three ways:
+
+  A. baseline:   64+64 samples, full-range [near, far] (reference
+                 semantics, train_utils.py:95-100);
+  B. tightened:  32+32 samples, nerf.train.occupancy enabled (per-scene
+                 AABB estimated during training, applied in train AND
+                 eval — ops/occupancy.py);
+  C. ablation:   32+32 samples, NO occupancy (shows the reduction is
+                 only free because of the tightening).
+
+and reports each variant's held-out validation PSNR. Success criterion:
+PSNR(B) >= PSNR(A) - 0.1 dB while B renders with half the plane
+gathers per ray. Results recorded in PERF.md (round 2).
+
+Usage: python tools/val_occupancy.py [--workdir /tmp/occval_ws]
+                                     [--iters 1500] [--size 100]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+sys.path.insert(0, REPO)
+
+from parity_check import CONFIG_TMPL, ensure_scene  # noqa: E402
+
+
+def build_cfg(ws, variant, iters):
+    from nvsr_tpu.utils.config import get_config
+    os.makedirs(os.path.join(ws, "config"), exist_ok=True)
+    with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
+        f.write(f"root: {ws}\n")
+    path = os.path.join(ws, "config", f"occval_{variant}.yml")
+    with open(path, "w") as f:
+        f.write(CONFIG_TMPL.format(logdir=f"logs_{variant}", iters=iters))
+    cfg = get_config(path)
+    cfg.experiment["id"] = f"occval_{variant}"
+    n = 64 if variant == "A" else 32
+    for mode in ("train", "validation"):
+        cfg.nerf[mode]["num_coarse"] = n
+        cfg.nerf[mode]["num_fine"] = n
+    if variant == "B":
+        cfg.nerf.train["occupancy"] = {
+            "enabled": True, "grid": 64, "threshold": 0.0, "margin": 1.0,
+            "warmup_iters": 300, "update_every": 250}
+    return cfg
+
+
+def run_variant(ws, variant, iters):
+    from nvsr_tpu.experiment import Experiment
+    from nvsr_tpu.ops.rendering import mse2psnr
+    import jax.numpy as jnp
+
+    cfg = build_cfg(ws, variant, iters)
+    exp = Experiment(cfg, root_path=ws)
+    exp.run(max_iters=iters)
+    losses = exp.evaluate(iters)
+    psnrs = [float(mse2psnr(jnp.asarray(l)))
+             for group in losses.values() for l in group]
+    occ = None
+    scene = exp.training_scenes[0]
+    sp = exp.planes_buffer.get(scene)
+    if sp.occ_aabb is not None:
+        occ = np.asarray(sp.occ_aabb).round(3).tolist()
+    return float(np.mean(psnrs)), occ
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/occval_ws")
+    ap.add_argument("--iters", type=int, default=1500)
+    ap.add_argument("--size", type=int, default=100)
+    ap.add_argument("--variants", default="A,B,C")
+    args = ap.parse_args()
+    ws = os.path.abspath(args.workdir)
+    os.makedirs(ws, exist_ok=True)
+    ensure_scene(ws, args.size)
+
+    out = {"iters": args.iters, "size": args.size}
+    for v in args.variants.split(","):
+        psnr, occ = run_variant(ws, v, args.iters)
+        out[f"psnr_{v}"] = round(psnr, 3)
+        if occ is not None:
+            out[f"occ_aabb_{v}"] = occ
+        print(f"variant {v}: held-out PSNR {psnr:.3f} dB"
+              + (f", occ AABB {occ}" if occ else ""))
+    if "psnr_A" in out and "psnr_B" in out:
+        out["delta_B_vs_A_db"] = round(out["psnr_B"] - out["psnr_A"], 3)
+        out["pass"] = bool(out["psnr_B"] >= out["psnr_A"] - 0.1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
