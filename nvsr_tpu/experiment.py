@@ -392,6 +392,7 @@ class Experiment:
         self.saved_target_ims = {v: set() for v in set(self.val_strings)}
         self._pending_metrics = []
         self._occ_last_update = {}
+        self._occ_window = {}
         self._plane_coverage = None
         self.virtual_batch_size = cfg.get_path(
             "nerf.train.virtual_batch_size", 1)
@@ -934,21 +935,34 @@ class Experiment:
     # ------------------------------------------------------------------
     @property
     def occupancy_cfg(self):
-        """nerf.train.occupancy.{enabled, grid, threshold, margin,
-        warmup_iters, update_every}: estimate each scene's occupied AABB
-        from its density field during training and tighten per-ray
-        [near, far] to it consistently in train AND eval. Applied during
-        training (not post-hoc), the field never learns mass outside the
-        box, so sample counts can drop at equal PSNR (PERF.md)."""
+        """nerf.train.occupancy.{enabled, grid, threshold, alpha_eps,
+        margin, warmup_iters, update_every}: estimate each scene's
+        occupied AABB from its density field during training and tighten
+        per-ray [near, far] to it consistently in train AND eval.
+        Applied during training (not post-hoc), the field never learns
+        mass outside the box, so sample counts can drop at equal PSNR
+        (PERF.md round 2).
+
+        threshold: 'auto' (default) derives the sigma cutoff from the
+        per-sample contribution: a cell counts as occupied when one
+        sampling step through it would absorb more than `alpha_eps`
+        (alpha = 1 - exp(-sigma*dt) > alpha_eps with
+        dt = (far-near)/(num_coarse+num_fine)); a raw density logit
+        near 0 carries ~zero rendering weight, so thresholding logits
+        at 0 keeps the whole scene box (measured: tools/val_occupancy)."""
         if not hasattr(self, "_occ_cfg"):
             occ = self.cfg.get_path("nerf.train.occupancy", None)
             if not occ or not occ.get("enabled", True):
                 self._occ_cfg = None
             else:
                 self._occ_cfg = {
+                    "mode": occ.get("mode", "surface"),
                     "grid": occ.get("grid", 64),
-                    "threshold": occ.get("threshold", 0.0),
+                    "threshold": occ.get("threshold", "auto"),
+                    "alpha_eps": occ.get("alpha_eps", 0.01),
+                    "weight_eps": occ.get("weight_eps", 0.01),
                     "margin": occ.get("margin", 1.0),
+                    "margin_steps": occ.get("margin_steps", 3.0),
                     "warmup_iters": occ.get("warmup_iters", 300),
                     "update_every": occ.get("update_every", 200),
                 }
@@ -965,6 +979,9 @@ class Experiment:
         if last is not None and iteration - last < occ["update_every"]:
             return
         self._occ_last_update[scene_id] = iteration
+        if occ["mode"] == "surface":
+            self._commit_surface_aabb(scene_id, occ)
+            return
         from nvsr_tpu.models.triplane import make_density_fn
         from nvsr_tpu.ops.occupancy import estimate_occupied_box
         planes = self.planes_buffer.get(scene_id)
@@ -974,10 +991,56 @@ class Experiment:
         density = make_density_fn(dc, self.model_cfg, pos,
                                   jnp.asarray(planes.box),
                                   rot_mats=self.rot_mats)
+        thr = occ["threshold"]
+        if thr in (None, "auto"):
+            scene_type = self.dataset.scene_types.get(
+                scene_id.replace("_train", ""), "synt")
+            sc_cfg = self.cfg.dataset[scene_type]
+            rcfg = self._mode_render_cfg("train", scene_id)
+            dt = (float(sc_cfg["far"]) - float(sc_cfg["near"])) / max(
+                rcfg.num_coarse + rcfg.num_fine, 1)
+            # alpha = 1 - exp(-sigma*dt) > alpha_eps  =>  sigma > eps/dt
+            # (to first order), the contribution floor for one sample
+            thr = float(occ["alpha_eps"]) / max(dt, 1e-6)
         aabb = estimate_occupied_box(
             density, planes.box, grid=occ["grid"],
-            threshold=occ["threshold"], margin=occ["margin"])
+            threshold=thr, margin=occ["margin"])
         self.planes_buffer.set_occ_aabb(scene_id, np.asarray(aabb))
+
+    def _commit_surface_aabb(self, scene_id: str, occ: dict):
+        """Surface-mode occupancy update: the window's rendering-mass
+        AABB (union of per-batch surf_lo/surf_hi emitted by train_step
+        when flags.track_surface_aabb) plus a margin of
+        `margin_steps` sampling steps, clipped to the scene box.
+
+        Density-grid thresholding (mode='density') keeps nearly the
+        whole box on learned fields — junk density in unobserved space
+        passes any sigma threshold; thresholding the COMPOSITING WEIGHT
+        instead only keeps space that actually renders
+        (tools/val_occupancy.py measurements)."""
+        window = self._occ_window.get(scene_id)
+        if not window:
+            return
+        lows = np.asarray(jnp.stack([l for l, _ in window]))
+        highs = np.asarray(jnp.stack([h for _, h in window]))
+        self._occ_window[scene_id] = []
+        lo = lows.min(axis=0)
+        hi = highs.max(axis=0)
+        if not np.all(lo < hi):     # no rendering mass observed yet
+            return
+        planes = self.planes_buffer.get(scene_id)
+        scene_type = self.dataset.scene_types.get(
+            scene_id.replace("_train", ""), "synt")
+        sc_cfg = self.cfg.dataset[scene_type]
+        rcfg = self._mode_render_cfg("train", scene_id)
+        dt = (float(sc_cfg["far"]) - float(sc_cfg["near"])) / max(
+            rcfg.num_coarse + rcfg.num_fine, 1)
+        m = float(occ["margin_steps"]) * dt
+        box = np.asarray(planes.box)
+        lo = np.maximum(lo - m, box[0, :3])
+        hi = np.minimum(hi + m, box[1, :3])
+        self.planes_buffer.set_occ_aabb(
+            scene_id, np.stack([lo, hi]).astype(np.float32))
 
     def _occ_aabb_for(self, planes) -> "np.ndarray | None":
         if self.occupancy_cfg is None or planes is None:
@@ -1088,7 +1151,13 @@ class Experiment:
                 plane_resolution=self._scene_plane_res(scene_id),
                 train_planes=self.planes_buffer.optimize,
                 train_decoder=self.decoder_opt is not None,
-                train_sr=self.sr_opt is not None)
+                train_sr=self.sr_opt is not None,
+                track_surface_aabb=(
+                    self.occupancy_cfg is not None
+                    and self.occupancy_cfg["mode"] == "surface"
+                    and self.planes_buffer.optimize),
+                surf_weight_eps=float(
+                    (self.occupancy_cfg or {}).get("weight_eps", 0.01)))
             planes = self.planes_buffer.get(scene_id)
             dc = self.decoder_coarse if self.decoder_opt is None \
                 else self.decoder_opt.params["dc"]
@@ -1112,6 +1181,10 @@ class Experiment:
                 dc, df, sr_p, plane_params, jnp.asarray(planes.box),
                 rays, target, k, model_cfg=self.model_cfg,
                 sr_cfg=self.sr_cfg, rcfg=rcfg, flags=flags)
+            if flags.track_surface_aabb:
+                # device arrays; fetched in one transfer at commit time
+                self._occ_window.setdefault(scene_id, []).append(
+                    (metrics.pop("surf_lo"), metrics.pop("surf_hi")))
             if "planes" in grads:
                 self.planes_buffer.apply_grads(scene_id, grads["planes"])
         else:

@@ -358,7 +358,6 @@ def apply_triplane_points(params, cfg: TriplaneConfig, planes_pos, box,
     factored out (callers with per-ray constant viewdirs sample it once
     per ray and broadcast — identical math, 1/num_samples the gathers).
     """
-    m = params["members"][member]
     xyz = normalize_coords(xyz_raw, box[:, :3])
     if noise_key is not None and cfg.point_coords_noise:
         assert plane_resolution is not None
@@ -368,7 +367,19 @@ def apply_triplane_points(params, cfg: TriplaneConfig, planes_pos, box,
     rot = rot_mats if rot_mats is not None else make_rot_mats(cfg.num_planes)
     grids = project_to_planes(xyz, rot)                # [P,N,2]
     pos_projs = sample_planes(planes_pos, grids, cfg)  # [P,N,C]
+    return decode_projections(params, cfg, pos_projs, view_proj,
+                              member=member)
 
+
+def decode_projections(params, cfg: TriplaneConfig, pos_projs, view_proj,
+                       *, member: int = 0):
+    """Decoder forward on pre-sampled plane features.
+
+    pos_projs: [P, N, C] per-plane features; view_proj: [N, Cv] or None.
+    The tail of the reference forward (models.py:395-421) after the
+    grid_sample calls — shared by the XLA gather path and the Pallas
+    tile-sampler path."""
+    m = params["members"][member]
     projected_xyz = combine_pos_planes(pos_projs, cfg.proj_combination)
     h, alpha = _mlp_branch(m["density"], m["fc_alpha"], projected_xyz, cfg)
 
@@ -412,14 +423,20 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
                         box, pts, viewdirs, *, member: int = 0,
                         noise_key=None,
                         plane_resolution: Optional[int] = None,
-                        rot_mats=None):
+                        rot_mats=None, tile_cfg=None):
     """Ray-structured forward: pts [R,S,3] + per-ray viewdirs [R,3]
     -> [R,S,4].
 
     The view-direction plane is sampled ONCE per ray and broadcast over
     samples (viewdirs are constant along a ray — the reference
     recomputes them per sample, train_utils.py:36-41; the result is
-    identical)."""
+    identical).
+
+    tile_cfg: optional ops.pallas.tile_sampler.TileSamplerConfig — route
+    the positional-plane gathers through the locality-bucketed Pallas
+    sampler (eval-only fast path; requires tile-coherent ray order, see
+    render.py::tile_ray_maps, bilinear interpolation, and no
+    point-coordinate noise)."""
     r, s, _ = pts.shape
     view_proj = None
     if cfg.use_viewdirs:
@@ -427,6 +444,23 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
         view_proj = jnp.broadcast_to(
             vp_ray[:, None, :], (r, s, vp_ray.shape[-1])).reshape(
                 r * s, vp_ray.shape[-1])
+    if tile_cfg is not None:
+        assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
+        assert noise_key is None, "tiled sampler is an eval-only path"
+        from nvsr_tpu.ops.pallas.tile_sampler import tiled_plane_sample
+        xyz = normalize_coords(pts.reshape(-1, 3), box[:, :3])
+        rot = rot_mats if rot_mats is not None \
+            else make_rot_mats(cfg.num_planes)
+        grids = project_to_planes(xyz, rot)            # [P, R*S, 2]
+        p = grids.shape[0]
+        pos_projs, _ = tiled_plane_sample(
+            planes_pos, grids.reshape(p, r, s, 2), tile_cfg,
+            align_corners=cfg.align_corners,
+            interpret=jax.default_backend() == "cpu")
+        out = decode_projections(
+            params, cfg, pos_projs.reshape(p, r * s, -1), view_proj,
+            member=member)
+        return out.reshape(r, s, 4)
     out = apply_triplane_points(
         params, cfg, planes_pos, box, pts.reshape(-1, 3), view_proj,
         member=member, noise_key=noise_key,

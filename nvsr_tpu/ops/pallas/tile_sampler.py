@@ -1,0 +1,281 @@
+"""Locality-bucketed feature-plane sampler (the TPU gather-wall breaker).
+
+The rendering pipeline's cost is dominated by random row gathers from
+the feature planes (PERF.md): XLA's gather engine tops out at ~50-60M
+rows/s per chip regardless of row size (per-row descriptor overhead).
+This module replaces it, for ray-structured eval batches, with a Pallas
+kernel that exploits the spatial coherence of sample points:
+
+  * Rays are ordered in image tiles (`tile_rays` consecutive rays form
+    an 8x8 pixel tile — see render.py::tile_ray_maps) and samples are
+    chunked into depth slabs (`slab` consecutive sorted z-samples), so
+    each (tile, slab) chunk of B = tile_rays*slab points projects into
+    a compact plane region.
+  * A pre-pass (pure jnp, dense) computes each chunk's region origin
+    and each point's continuous local flat coordinate.
+  * The kernel DMAs each chunk's [th, tw]-cell region HBM->VMEM once
+    (double-buffered across grid steps, `group` regions per step to
+    amortize the per-step floor) and turns the bilinear x-interpolation
+    into ONE hat-weight matmul on the MXU:
+        w[b, t] = relu(1 - |t - fidx_b|)     (two nonzeros: the x taps)
+        rows    = w @ region                 [B, T] @ [T, 128]
+    The table packs each cell's channels for rows y AND y+1
+    (vertical-pair layout, 2x64 lanes), so the single matmul
+    x-interpolates both vertical taps; a cheap XLA epilogue finishes
+    the y-lerp.
+
+Measured (tools/exp_tile_kernel*.py, 1x v5e): 140-160M rows/s without
+step batching vs the 60M rows/s XLA baseline; see PERF.md round 2.
+
+Semantics: numerically matches grid_sample_2d(..., 'bilinear',
+padding_mode='border') with bfloat16 tap values AND bfloat16
+interpolation weights (the XLA packed path keeps weights f32). Points
+of a chunk whose region exceeds [th, tw] cells are clamped to the
+region (nearest-cell approximation); the returned overflow fraction
+reports how many chunks clamped. This path is eval-only (no custom
+VJP) and opt-in (render.RenderConfig.tiled_gather).
+
+Reference behavior being replaced: grid_sample bilinear at reference
+models.py:303-309 — same math, locality-bucketed execution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+LANES = 128      # table cell width: 2 vertical taps x 64 channel lanes
+HALF = 64        # per-tap channel slot (supports up to 64 channels)
+YALIGN = 16      # region row origins align to the bf16 sublane tile
+
+
+@dataclasses.dataclass(frozen=True)
+class TileSamplerConfig:
+    """Static chunk/region geometry (hashable; safe as a jit static).
+
+    Capacity: a chunk fits when its points span <= th - (YALIGN-1)
+    region rows (the y origin aligns DOWN to the sublane tile) and
+    <= tw - 1 cells in x (x origins are lane-granular, i.e. free).
+    Defaults cover the measured worst-case extents of 8x8-ray x
+    4-sample chunks at both the HR (800^2) and LR (200^2) plane
+    resolutions of the flagship workflow across viewpoints
+    (~16 cells either axis; tools/exp_tile_kernel*.py studies)."""
+    tile_rays: int = 64    # rays per image tile (8x8)
+    slab: int = 4          # consecutive z-samples per chunk
+    th: int = 32           # region rows (y capacity: th - YALIGN + 1)
+    tw: int = 18           # region cells per row (x capacity: tw - 1)
+    group: int = 8         # regions per kernel grid step
+
+    def __post_init__(self):
+        assert self.th % 8 == 0, "region rows must align to sublanes"
+
+    @property
+    def chunk_points(self) -> int:
+        return self.tile_rays * self.slab
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_pair_tables(planes, config: TileSamplerConfig):
+    """[P, C, H, W] planes -> stacked vertical-pair table.
+
+    Returns (table [P*Hp, Wp*LANES] bf16, Hp, Wp). Cell (p, y, x) lives
+    at row p*Hp + y, lanes [x*128, (x+1)*128): channels of (y, x) in
+    lanes [0, 64) and of (min(y+1, H-1), x) in [64, 128) — edge
+    replication reproduces 'border' padding for the y tap; x edges are
+    handled by coordinate clipping in the pre-pass. H is padded to a
+    sublane-aligned Hp and W by tw cells so every region DMA is in
+    bounds.
+    """
+    P, C, H, W = planes.shape
+    assert C <= HALF, f"tile sampler supports <= {HALF} channels, got {C}"
+    Hp = _round_up(H, YALIGN)
+    Wp = W + config.tw
+    top = jnp.pad(planes, ((0, 0), (0, HALF - C), (0, 0), (0, 0)))
+    bot = jnp.concatenate([top[:, :, 1:, :], top[:, :, -1:, :]], axis=2)
+    cells = jnp.concatenate([top, bot], axis=1)          # [P, 128, H, W]
+    cells = cells.transpose(0, 2, 3, 1)                  # [P, H, W, 128]
+    cells = jnp.pad(cells, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+                    mode="edge")
+    table = cells.reshape(P * Hp, Wp * LANES).astype(jnp.bfloat16)
+    return table, Hp, Wp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _kernel(oy_ref, ox_ref, fidx_ref, table_ref, out_ref, region, sem, *,
+            th, tw, group, B):
+    T = th * tw
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(slot, step, g):
+        oy = pl.multiple_of(oy_ref[step * group + g], YALIGN)
+        ox = pl.multiple_of(ox_ref[step * group + g] * LANES, LANES)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
+            region.at[slot, g],
+            sem.at[slot, g])
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(group):
+            dma(0, 0, g).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for g in range(group):
+            dma((i + 1) % 2, i + 1, g).start()
+
+    slot = i % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
+    for g in range(group):
+        fidx = fidx_ref[pl.ds(g * B, B), :1]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)).astype(jnp.bfloat16)
+        dma(slot, i, g).wait()
+        flat = region[slot, g].reshape(T, LANES)
+        out_ref[pl.ds(g * B, B), :] = jnp.dot(
+            w, flat, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "tw", "group", "B", "interpret"))
+def _tile_gather(table, oy, ox, fidx, *, th, tw, group, B,
+                 interpret=False):
+    """table [Ht, Wt*128] bf16; oy [nchunks] (global table rows, aligned),
+    ox [nchunks] (cells); fidx [nchunks*B, 1] f32 local flat coords
+    -> [nchunks*B, 128] f32 x-interpolated vertical tap pairs."""
+    nchunks = oy.shape[0]
+    nsteps = nchunks // group
+    assert nsteps * group == nchunks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((group * B, 1), lambda i, y, x: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((group * B, LANES), lambda i, y, x: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, th=th, tw=tw, group=group, B=B),
+        out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(oy, ox, fidx, table)
+
+
+def _to_chunks(x, ntiles, tile_rays, nslabs, slab):
+    """[..., R, S] -> [..., ntiles*nslabs, tile_rays*slab] chunk-major."""
+    lead = x.shape[:-2]
+    x = x.reshape(*lead, ntiles, tile_rays, nslabs, slab)
+    x = jnp.moveaxis(x, -2, -3)          # [..., ntiles, nslabs, rays, slab]
+    return x.reshape(*lead, ntiles * nslabs, tile_rays * slab)
+
+
+def _from_chunks(x, ntiles, tile_rays, nslabs, slab):
+    """Inverse of _to_chunks on [..., nchunks, B, ...trailing]."""
+    lead = x.shape[:-2]
+    trail = x.shape[-1:] if x.ndim > 2 else ()
+    raise NotImplementedError  # specialized below
+
+
+def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
+                       align_corners: bool = True, interpret: bool = False):
+    """Sample P same-resolution planes at ray-structured grids.
+
+    Args:
+      planes: [P, C, H, W] feature planes.
+      grids: [P, R, S, 2] normalized (x, y) coords in [-1, 1]; R must be
+        tile-coherent (tile_rays consecutive rays = one image tile) and
+        a multiple of config.tile_rays; S a multiple of config.slab.
+      config: chunk/region geometry.
+      interpret: run the kernel in interpreter mode (CPU tests).
+
+    Returns:
+      (features [P, R, S, C] f32, overflow_frac scalar f32 — the
+      fraction of chunks whose points did not fit the [th, tw] region
+      and were clamped to it).
+    """
+    P, C, H, W = planes.shape
+    _, R, S, _ = grids.shape
+    tr, sl = config.tile_rays, config.slab
+    assert R % tr == 0 and S % sl == 0, (R, S, tr, sl)
+    ntiles, nslabs = R // tr, S // sl
+    B = tr * sl
+    th, tw = config.th, config.tw
+
+    table, Hp, Wp = build_pair_tables(planes, config)
+
+    gx = grids[..., 0]
+    gy = grids[..., 1]
+    xp = jnp.clip(_unnormalize(gx, W, align_corners), 0.0, W - 1.0)
+    yp = jnp.clip(_unnormalize(gy, H, align_corners), 0.0, H - 1.0)
+    y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
+    ty = yp - y0.astype(yp.dtype)                        # [P, R, S]
+    x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
+
+    # chunk-major rearrangement (dense transposes, no gathers)
+    xp_c = _to_chunks(xp, ntiles, tr, nslabs, sl)        # [P, NC, B]
+    y0_c = _to_chunks(y0, ntiles, tr, nslabs, sl)
+    x0_c = _to_chunks(x0, ntiles, tr, nslabs, sl)
+
+    ymin = jnp.min(y0_c, axis=-1)
+    ymax = jnp.max(y0_c, axis=-1)
+    xmin = jnp.min(x0_c, axis=-1)
+    xmax = jnp.max(x0_c, axis=-1)
+    oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [P, NC]
+    ox = jnp.clip(xmin, 0, W - 1)
+    overflow = ((ymax - oy > th - 1) |
+                (xmax + 1 - ox > tw - 1))
+    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
+
+    yl = jnp.clip(y0_c - oy[..., None], 0, th - 1).astype(jnp.float32)
+    xl = jnp.clip(xp_c - ox[..., None].astype(xp_c.dtype), 0.0,
+                  tw - 1.0 - 1e-3)
+    fidx = yl * tw + xl                                  # [P, NC, B]
+
+    # fold the plane index into the stacked-table row origin
+    plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
+    oy_glob = (oy + plane_row0).reshape(-1)              # [P*NC]
+    ox_flat = ox.reshape(-1)
+    fidx_flat = fidx.reshape(-1, 1)
+
+    # pad chunk count to a multiple of `group`
+    nchunks = oy_glob.shape[0]
+    pad = _round_up(nchunks, config.group) - nchunks
+    if pad:
+        oy_glob = jnp.pad(oy_glob, (0, pad))
+        ox_flat = jnp.pad(ox_flat, (0, pad))
+        fidx_flat = jnp.pad(fidx_flat, ((0, pad * B), (0, 0)))
+
+    rows = _tile_gather(table, oy_glob, ox_flat, fidx_flat,
+                        th=th, tw=tw, group=config.group, B=B,
+                        interpret=interpret)
+    if pad:
+        rows = rows[:nchunks * B]
+
+    rows = rows.reshape(P, ntiles, nslabs, tr, sl, LANES)
+    rows = jnp.moveaxis(rows, 2, 3)       # [P, ntiles, rays, nslabs, slab, .]
+    rows = rows.reshape(P, R, S, LANES)
+    ty = ty[..., None]
+    out = rows[..., :C] * (1.0 - ty) + rows[..., HALF:HALF + C] * ty
+    return out, overflow_frac

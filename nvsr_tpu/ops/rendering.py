@@ -19,6 +19,9 @@ class RenderOutputs(NamedTuple):
     acc: jnp.ndarray      # [R]
     weights: jnp.ndarray  # [R, S]
     depth: jnp.ndarray    # [R]
+    # per-sample depths the weights refer to (interval midpoints for
+    # mip); consumed by the surface-AABB occupancy estimator (train.py)
+    z_vals: jnp.ndarray = None  # [R, S]
 
 
 def cumprod_exclusive(x):
@@ -33,7 +36,8 @@ def cumprod_exclusive(x):
 
 def volume_render(radiance_field, z_vals, ray_directions, *,
                   noise_key=None, radiance_field_noise_std: float = 0.0,
-                  white_background: bool = False, mip: bool = False):
+                  white_background: bool = False, mip: bool = False,
+                  return_z: bool = False):
     """Composite per-sample (rgb, sigma) into per-ray maps.
 
     Args:
@@ -74,7 +78,8 @@ def volume_render(radiance_field, z_vals, ray_directions, *,
     if white_background:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
 
-    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map,
+                         depth_vals if return_z else None)
 
 
 def img2mse(pred, target):

@@ -48,6 +48,9 @@ class RenderConfig:
     mip: bool = False
     stop_coarse_grad: bool = False
     ray_block: int = 4096          # lax.map block size for large batches
+    # keep per-sample z in RenderOutputs.z_vals (surface-AABB occupancy
+    # tracking needs it; off by default — it is [R, S] extra output)
+    keep_z: bool = False
 
     @classmethod
     def from_cfg(cls, mode_cfg, nerf_cfg, **overrides) -> "RenderConfig":
@@ -175,7 +178,8 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
     out_c = volume_render(
         rf_c, z_vals, rays.directions, noise_key=k_noise_c,
         radiance_field_noise_std=rcfg.radiance_field_noise_std,
-        white_background=rcfg.white_background, mip=rcfg.mip)
+        white_background=rcfg.white_background, mip=rcfg.mip,
+        return_z=rcfg.keep_z)
 
     out_f = None
     if rcfg.num_fine > 0 and point_fn_fine is not None:
@@ -189,7 +193,8 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
         out_f = volume_render(
             rf_f, z_fine, rays.directions, noise_key=k_noise_f,
             radiance_field_noise_std=rcfg.radiance_field_noise_std,
-            white_background=rcfg.white_background, mip=rcfg.mip)
+            white_background=rcfg.white_background, mip=rcfg.mip,
+            return_z=rcfg.keep_z)
     return RenderResult(out_c, out_f)
 
 
@@ -246,18 +251,49 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
 
 def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                            member: int = 0, noise_key=None,
-                           plane_resolution=None, rot_mats=None) -> PointFn:
+                           plane_resolution=None, rot_mats=None,
+                           tile_cfg=None) -> PointFn:
     """Triplane decoder point function (identity encoding; reference
     wires encode_* to identity for the planes model,
-    train_nerf.py:312-314)."""
+    train_nerf.py:312-314).
+
+    tile_cfg: optional TileSamplerConfig — use the locality-bucketed
+    Pallas plane sampler (requires tile-coherent ray order; see
+    tile_ray_maps)."""
 
     def point_fn(pts, rays, z_vals):
         return apply_triplane_rays(
             params, model_cfg, planes_pos, plane_view, box, pts,
             rays.viewdirs, member=member, noise_key=noise_key,
-            plane_resolution=plane_resolution, rot_mats=rot_mats)
+            plane_resolution=plane_resolution, rot_mats=rot_mats,
+            tile_cfg=tile_cfg)
 
     return point_fn
+
+
+# ---------------------------------------------------------------------------
+# Image-tile ray ordering (for the locality-bucketed plane sampler)
+# ---------------------------------------------------------------------------
+
+def tile_ray_maps(arr, tile: int = 8):
+    """[H, W, ...] image-shaped map -> [H*W, ...] rays in tile-major
+    order: each group of tile*tile consecutive rays is one square image
+    tile (the spatial-coherence contract of
+    ops/pallas/tile_sampler.TileSamplerConfig.tile_rays = tile**2).
+    Dense reshape/transpose only — no gathers."""
+    h, w = arr.shape[:2]
+    assert h % tile == 0 and w % tile == 0, (h, w, tile)
+    x = arr.reshape(h // tile, tile, w // tile, tile, *arr.shape[2:])
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape(h * w, *arr.shape[2:])
+
+
+def untile_ray_maps(flat, height: int, width: int, tile: int = 8):
+    """Inverse of tile_ray_maps: [H*W, ...] tile-major -> [H, W, ...]."""
+    x = flat.reshape(height // tile, width // tile, tile, tile,
+                     *flat.shape[1:])
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(height, width, *flat.shape[1:])
 
 
 def make_baseline_point_fn(params, mlp_cfg, *, num_encoding_fn_xyz=6,

@@ -65,6 +65,14 @@ class StepFlags:
     train_planes: bool = True
     train_decoder: bool = True
     train_sr: bool = True
+    # emit this batch's rendering-mass AABB (surf_lo/surf_hi in the
+    # metrics) for the surface-based occupancy estimator: the bounds of
+    # sample points whose compositing weight exceeds `surf_weight_eps`.
+    # Robust where density-grid thresholding is not — a learned field
+    # carries junk density in unobserved space, but junk that never
+    # RENDERS gets ~zero weight (measured: tools/val_occupancy.py).
+    track_surface_aabb: bool = False
+    surf_weight_eps: float = 0.01
 
 
 def _loss_weight(flags: StepFlags) -> float:
@@ -93,6 +101,8 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
     Returns:
       (metrics dict, grads dict matching the differentiable inputs).
     """
+    if flags.track_surface_aabb and not rcfg.keep_z:
+        rcfg = dataclasses.replace(rcfg, keep_z=True)
     diff = {}
     if flags.train_planes:
         diff["planes"] = plane_params
@@ -162,6 +172,18 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             "psnr": mse2psnr(rendering_loss),
             "fine_psnr": mse2psnr(fine_loss),
         }
+        if flags.track_surface_aabb:
+            o = out.fine if out.fine is not None else out.coarse
+            w = jax.lax.stop_gradient(o.weights)          # [R, S]
+            z = jax.lax.stop_gradient(o.z_vals)
+            pts = (rays.origins[:, None, :]
+                   + rays.directions[:, None, :] * z[..., None])
+            mass = (w > flags.surf_weight_eps)[..., None]
+            big = jnp.float32(1e9)
+            aux["surf_lo"] = jnp.min(
+                jnp.where(mass, pts, big), axis=(0, 1))
+            aux["surf_hi"] = jnp.max(
+                jnp.where(mass, pts, -big), axis=(0, 1))
         return total, aux
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)

@@ -1,0 +1,120 @@
+"""Tests for the locality-bucketed Pallas plane sampler
+(nvsr_tpu/ops/pallas/tile_sampler.py), run in interpreter mode on CPU.
+
+Numerics contract: matches the bilinear/border grid_sample path with
+bfloat16 tap values and bfloat16 interpolation weights -> tolerance
+~1e-2 on unit-scale features.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvsr_tpu.ops.grid_sample import multi_plane_sample
+from nvsr_tpu.ops.pallas.tile_sampler import (TileSamplerConfig,
+                                              tiled_plane_sample)
+
+
+def _clustered_grids(rng, P, R, S, cfg, spread=0.08):
+    """Tile-coherent grids: each (tile, slab) chunk clusters around a
+    random center, mimicking rays through an image tile."""
+    ntiles = R // cfg.tile_rays
+    nslabs = S // cfg.slab
+    centers = rng.uniform(-0.8, 0.8, size=(P, ntiles, nslabs, 2))
+    # [P, ntiles, tile_rays, nslabs, slab, 2] ray-major layout
+    g = np.repeat(np.repeat(centers[:, :, None, :, None, :], cfg.tile_rays,
+                            axis=2), cfg.slab, axis=4)
+    g = g + rng.uniform(-spread, spread, size=g.shape)
+    return jnp.asarray(g.reshape(P, R, S, 2).astype(np.float32))
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_tiled_matches_reference_bilinear(rng, align_corners):
+    P, C, H, W = 3, 8, 64, 64
+    cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=2)
+    R, S = 32, 8
+    planes = jnp.asarray(rng.standard_normal((P, C, H, W)).astype(np.float32))
+    grids = _clustered_grids(rng, P, R, S, cfg)
+
+    out, overflow = tiled_plane_sample(planes, grids, cfg,
+                                       align_corners=align_corners,
+                                       interpret=True)
+    assert out.shape == (P, R, S, C)
+    assert float(overflow) == 0.0
+
+    ref = multi_plane_sample(planes, grids.reshape(P, R * S, 2),
+                             mode="bilinear", align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref).reshape(P, R, S, C),
+                               atol=3e-2, rtol=0)
+    # agreement should be much tighter than feature scale on average
+    err = np.abs(np.asarray(out) - np.asarray(ref).reshape(P, R, S, C))
+    assert err.mean() < 3e-3
+
+
+def test_overflow_reported_for_scattered_points(rng):
+    P, C, H, W = 3, 8, 64, 64
+    cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=2)
+    R, S = 32, 8
+    planes = jnp.asarray(rng.standard_normal((P, C, H, W)).astype(np.float32))
+    # fully random points: chunks cannot fit a 16x16 region
+    grids = jnp.asarray(rng.uniform(-0.95, 0.95,
+                                    size=(P, R, S, 2)).astype(np.float32))
+    _, overflow = tiled_plane_sample(planes, grids, cfg, interpret=True)
+    assert float(overflow) > 0.5
+
+
+def test_border_clamp_matches(rng):
+    """Points beyond the plane edge clamp exactly like padding='border'."""
+    P, C, H, W = 3, 4, 32, 32
+    cfg = TileSamplerConfig(tile_rays=8, slab=2, th=32, tw=16, group=1)
+    R, S = 8, 2
+    planes = jnp.asarray(rng.standard_normal((P, C, H, W)).astype(np.float32))
+    grids = jnp.asarray(
+        np.stack([np.full((P, R, S), 1.2), np.full((P, R, S), -1.3)],
+                 axis=-1).astype(np.float32))
+    out, _ = tiled_plane_sample(planes, grids, cfg, interpret=True)
+    ref = multi_plane_sample(planes, grids.reshape(P, R * S, 2),
+                             mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref).reshape(P, R, S, C),
+                               atol=3e-2, rtol=0)
+
+
+def test_apply_triplane_rays_tiled_matches(rng):
+    """Full model forward through the tiled sampler == XLA gather path."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays,
+                                          init_decoder_params)
+    cfg = TriplaneConfig(dec_channels=16, num_plane_channels=8,
+                         dec_density_layers=2, dec_rgb_layers=2,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.5 * rng.standard_normal((3, 8, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.5 * rng.standard_normal((8, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=2)
+
+    R, S = 16, 8
+    # rays of one "image tile": nearby origins, nearly parallel dirs
+    origin = np.array([0.0, 0.0, 1.8])
+    dirs = np.stack(np.meshgrid(np.linspace(-.05, .05, 4),
+                                np.linspace(-.05, .05, 4)), -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.linspace(0.8, 3.2, S).astype(np.float32)
+    pts = jnp.asarray(origin + d[:, None, :] * z[None, :, None])
+    viewdirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    out_ref = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                  pts, viewdirs)
+    out_tiled = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                    pts, viewdirs, tile_cfg=tile_cfg)
+    np.testing.assert_allclose(np.asarray(out_tiled), np.asarray(out_ref),
+                               atol=5e-2, rtol=0)
+    err = np.abs(np.asarray(out_tiled) - np.asarray(out_ref))
+    assert err.mean() < 5e-3
