@@ -63,7 +63,7 @@ def bench_render(extra: dict) -> float:
     from nvsr_tpu.ops.geometry import get_ray_bundle
     from nvsr_tpu.render import (RenderConfig, make_ray_bundle,
                                  make_triplane_point_fn, render_rays_chunked,
-                                 tighten_bundle)
+                                 tighten_bundle, tile_ray_maps)
 
     H = W = int(os.environ.get("BENCH_SIZE", 800))
     plane_res = int(os.environ.get("BENCH_PLANE_RES", 800))
@@ -101,6 +101,14 @@ def bench_render(extra: dict) -> float:
 
     ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3),
                             jnp.asarray(_camera([3.8, 0.5, 0.7])))
+    # BENCH_TILED=1 (default): rays in 8x8-image-tile order feed the
+    # locality-bucketed Pallas plane sampler (ops/pallas/tile_sampler)
+    tile_cfg = None
+    if os.environ.get("BENCH_TILED", "1") != "0":
+        from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+        tile_cfg = TileSamplerConfig()
+        ro = tile_ray_maps(ro)
+        rd = tile_ray_maps(rd)
     rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
     if use_occ:
         # the occupied AABB of the analytic validation scene (two blobs
@@ -116,9 +124,9 @@ def bench_render(extra: dict) -> float:
     def render(decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
                rays, key):
         pf_c = make_triplane_point_fn(decoder_c, model_cfg, planes_lr,
-                                      plane_view, box)
+                                      plane_view, box, tile_cfg=tile_cfg)
         pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
-                                      plane_view, box)
+                                      plane_view, box, tile_cfg=tile_cfg)
         out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
         return out.fine.rgb
 

@@ -423,7 +423,7 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
                         box, pts, viewdirs, *, member: int = 0,
                         noise_key=None,
                         plane_resolution: Optional[int] = None,
-                        rot_mats=None, tile_cfg=None):
+                        rot_mats=None, tile_cfg=None, tile_tables=None):
     """Ray-structured forward: pts [R,S,3] + per-ray viewdirs [R,3]
     -> [R,S,4].
 
@@ -438,29 +438,46 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     render.py::tile_ray_maps, bilinear interpolation, and no
     point-coordinate noise)."""
     r, s, _ = pts.shape
-    view_proj = None
+    vp_ray = None
     if cfg.use_viewdirs:
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
-        view_proj = jnp.broadcast_to(
-            vp_ray[:, None, :], (r, s, vp_ray.shape[-1])).reshape(
-                r * s, vp_ray.shape[-1])
     if tile_cfg is not None:
         assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
         assert noise_key is None, "tiled sampler is an eval-only path"
-        from nvsr_tpu.ops.pallas.tile_sampler import tiled_plane_sample
+        from nvsr_tpu.ops.pallas.tile_sampler import (
+            from_chunks, tiled_plane_sample_chunked)
         xyz = normalize_coords(pts.reshape(-1, 3), box[:, :3])
         rot = rot_mats if rot_mats is not None \
             else make_rot_mats(cfg.num_planes)
         grids = project_to_planes(xyz, rot)            # [P, R*S, 2]
         p = grids.shape[0]
-        pos_projs, _ = tiled_plane_sample(
+        pos_projs, _ = tiled_plane_sample_chunked(
             planes_pos, grids.reshape(p, r, s, 2), tile_cfg,
             align_corners=cfg.align_corners,
-            interpret=jax.default_backend() == "cpu")
-        out = decode_projections(
-            params, cfg, pos_projs.reshape(p, r * s, -1), view_proj,
-            member=member)
-        return out.reshape(r, s, 4)
+            interpret=jax.default_backend() == "cpu",
+            tables=tile_tables)
+        # decode in CHUNK point order (per-point math is order-free) and
+        # un-chunk only the 4-channel result — chunk-major transposes of
+        # [.., C]-wide per-point data dominated this path's cost.
+        # View features are per-ray, so their chunk-order broadcast is
+        # reshapes only (no point-wide transpose).
+        tr, sl = tile_cfg.tile_rays, tile_cfg.slab
+        nt, ns = r // tr, s // sl
+        view_c = None
+        if vp_ray is not None:
+            cv = vp_ray.shape[-1]
+            view_c = jnp.broadcast_to(
+                vp_ray.reshape(nt, 1, tr, 1, cv),
+                (nt, ns, tr, sl, cv)).reshape(r * s, cv)
+        out = decode_projections(params, cfg, pos_projs, view_c,
+                                 member=member)
+        return from_chunks(out.reshape(nt * ns, tr * sl, 4),
+                           nt, tr, ns, sl).reshape(r, s, 4)
+    view_proj = None
+    if vp_ray is not None:
+        view_proj = jnp.broadcast_to(
+            vp_ray[:, None, :], (r, s, vp_ray.shape[-1])).reshape(
+                r * s, vp_ray.shape[-1])
     out = apply_triplane_points(
         params, cfg, planes_pos, box, pts.reshape(-1, 3), view_proj,
         member=member, noise_key=noise_key,

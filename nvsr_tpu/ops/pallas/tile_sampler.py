@@ -147,7 +147,8 @@ def _kernel(oy_ref, ox_ref, fidx_ref, table_ref, out_ref, region, sem, *,
         dma(slot, i, g).wait()
         flat = region[slot, g].reshape(T, LANES)
         out_ref[pl.ds(g * B, B), :] = jnp.dot(
-            w, flat, preferred_element_type=jnp.float32)
+            w, flat, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -177,30 +178,43 @@ def _tile_gather(table, oy, ox, fidx, *, th, tw, group, B,
     )
     return pl.pallas_call(
         functools.partial(_kernel, th=th, tw=tw, group=group, B=B),
-        out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
     )(oy, ox, fidx, table)
 
 
-def _to_chunks(x, ntiles, tile_rays, nslabs, slab):
-    """[..., R, S] -> [..., ntiles*nslabs, tile_rays*slab] chunk-major."""
-    lead = x.shape[:-2]
-    x = x.reshape(*lead, ntiles, tile_rays, nslabs, slab)
-    x = jnp.moveaxis(x, -2, -3)          # [..., ntiles, nslabs, rays, slab]
-    return x.reshape(*lead, ntiles * nslabs, tile_rays * slab)
+def to_chunks(x, ntiles, tile_rays, nslabs, slab):
+    """[..., R, S, D] -> [..., ntiles*nslabs, tile_rays*slab, D]
+    chunk-major (one dense transpose; D rides along)."""
+    lead = x.shape[:-3]
+    D = x.shape[-1]
+    x = x.reshape(*lead, ntiles, tile_rays, nslabs, slab, D)
+    x = jnp.moveaxis(x, -3, -4)        # [..., ntiles, nslabs, rays, slab, D]
+    return x.reshape(*lead, ntiles * nslabs, tile_rays * slab, D)
 
 
-def _from_chunks(x, ntiles, tile_rays, nslabs, slab):
-    """Inverse of _to_chunks on [..., nchunks, B, ...trailing]."""
-    lead = x.shape[:-2]
-    trail = x.shape[-1:] if x.ndim > 2 else ()
-    raise NotImplementedError  # specialized below
+def from_chunks(x, ntiles, tile_rays, nslabs, slab):
+    """Inverse of to_chunks: [..., NC, B, D] -> [..., R, S, D]."""
+    lead = x.shape[:-3]
+    D = x.shape[-1]
+    x = x.reshape(*lead, ntiles, nslabs, tile_rays, slab, D)
+    x = jnp.moveaxis(x, -3, -4)
+    return x.reshape(*lead, ntiles * tile_rays, nslabs * slab, D)
 
 
-def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
-                       align_corners: bool = True, interpret: bool = False):
-    """Sample P same-resolution planes at ray-structured grids.
+def tiled_plane_sample_chunked(planes, grids, config: TileSamplerConfig,
+                               align_corners: bool = True,
+                               interpret: bool = False, tables=None):
+    """Sample P same-resolution planes at ray-structured grids, leaving
+    the result in CHUNK-major point order.
+
+    The chunk rearrangement transposes have tiny inner strides, so only
+    two dense transposes are performed per call: the packed (x, y)
+    coordinate pairs going in, and — left to the CALLER — whatever
+    comes back out. Decoding in chunk order and un-chunking only the
+    final few-channel output (triplane.apply_triplane_rays) is ~10x
+    cheaper than un-chunking [.., C] features here.
 
     Args:
       planes: [P, C, H, W] feature planes.
@@ -209,11 +223,15 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
         a multiple of config.tile_rays; S a multiple of config.slab.
       config: chunk/region geometry.
       interpret: run the kernel in interpreter mode (CPU tests).
+      tables: optional prebuilt (table, Hp, Wp) from build_pair_tables —
+        REQUIRED for performance when sampling inside a scan/lax.map
+        (otherwise the dense table build replays every iteration).
 
     Returns:
-      (features [P, R, S, C] f32, overflow_frac scalar f32 — the
-      fraction of chunks whose points did not fit the [th, tw] region
-      and were clamped to it).
+      (features [P, NC*B, C] f32 in chunk-major point order — restore
+      ray order with from_chunks — and overflow_frac, the fraction of
+      chunks whose points did not fit the [th, tw] region and were
+      clamped to it).
     """
     P, C, H, W = planes.shape
     _, R, S, _ = grids.shape
@@ -223,33 +241,29 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
     B = tr * sl
     th, tw = config.th, config.tw
 
-    table, Hp, Wp = build_pair_tables(planes, config)
+    table, Hp, Wp = tables if tables is not None \
+        else build_pair_tables(planes, config)
 
-    gx = grids[..., 0]
-    gy = grids[..., 1]
-    xp = jnp.clip(_unnormalize(gx, W, align_corners), 0.0, W - 1.0)
-    yp = jnp.clip(_unnormalize(gy, H, align_corners), 0.0, H - 1.0)
+    # ONE chunk transpose, on the packed coordinate pairs
+    g_c = to_chunks(grids, ntiles, tr, nslabs, sl)       # [P, NC, B, 2]
+    xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
+    yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
     y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
-    ty = yp - y0.astype(yp.dtype)                        # [P, R, S]
+    ty = yp - y0.astype(yp.dtype)                        # [P, NC, B]
     x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
 
-    # chunk-major rearrangement (dense transposes, no gathers)
-    xp_c = _to_chunks(xp, ntiles, tr, nslabs, sl)        # [P, NC, B]
-    y0_c = _to_chunks(y0, ntiles, tr, nslabs, sl)
-    x0_c = _to_chunks(x0, ntiles, tr, nslabs, sl)
-
-    ymin = jnp.min(y0_c, axis=-1)
-    ymax = jnp.max(y0_c, axis=-1)
-    xmin = jnp.min(x0_c, axis=-1)
-    xmax = jnp.max(x0_c, axis=-1)
+    ymin = jnp.min(y0, axis=-1)
+    ymax = jnp.max(y0, axis=-1)
+    xmin = jnp.min(x0, axis=-1)
+    xmax = jnp.max(x0, axis=-1)
     oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [P, NC]
     ox = jnp.clip(xmin, 0, W - 1)
     overflow = ((ymax - oy > th - 1) |
                 (xmax + 1 - ox > tw - 1))
     overflow_frac = jnp.mean(overflow.astype(jnp.float32))
 
-    yl = jnp.clip(y0_c - oy[..., None], 0, th - 1).astype(jnp.float32)
-    xl = jnp.clip(xp_c - ox[..., None].astype(xp_c.dtype), 0.0,
+    yl = jnp.clip(y0 - oy[..., None], 0, th - 1).astype(jnp.float32)
+    xl = jnp.clip(xp - ox[..., None].astype(xp.dtype), 0.0,
                   tw - 1.0 - 1e-3)
     fidx = yl * tw + xl                                  # [P, NC, B]
 
@@ -273,9 +287,24 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
     if pad:
         rows = rows[:nchunks * B]
 
-    rows = rows.reshape(P, ntiles, nslabs, tr, sl, LANES)
-    rows = jnp.moveaxis(rows, 2, 3)       # [P, ntiles, rays, nslabs, slab, .]
-    rows = rows.reshape(P, R, S, LANES)
-    ty = ty[..., None]
-    out = rows[..., :C] * (1.0 - ty) + rows[..., HALF:HALF + C] * ty
-    return out, overflow_frac
+    ty_f = ty.reshape(-1, 1)
+    out = (rows[:, :C].astype(jnp.float32) * (1.0 - ty_f)
+           + rows[:, HALF:HALF + C].astype(jnp.float32) * ty_f)
+    return out.reshape(P, nchunks // P * B, C), overflow_frac
+
+
+def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
+                       align_corners: bool = True, interpret: bool = False,
+                       tables=None):
+    """Ray-ordered convenience wrapper: [P, R, S, C] features (see
+    tiled_plane_sample_chunked for the fast chunk-layout form)."""
+    P = planes.shape[0]
+    _, R, S, _ = grids.shape
+    tr, sl = config.tile_rays, config.slab
+    ntiles, nslabs = R // tr, S // sl
+    out_c, overflow = tiled_plane_sample_chunked(
+        planes, grids, config, align_corners=align_corners,
+        interpret=interpret, tables=tables)
+    out = from_chunks(out_c.reshape(P, ntiles * nslabs, tr * sl, -1),
+                      ntiles, tr, nslabs, sl)
+    return out, overflow

@@ -259,14 +259,20 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
 
     tile_cfg: optional TileSamplerConfig — use the locality-bucketed
     Pallas plane sampler (requires tile-coherent ray order; see
-    tile_ray_maps)."""
+    tile_ray_maps). The vertical-pair gather table is built HERE, once
+    per point-fn, so the per-block sampling inside lax.map reuses it."""
+
+    tile_tables = None
+    if tile_cfg is not None:
+        from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
+        tile_tables = build_pair_tables(planes_pos, tile_cfg)
 
     def point_fn(pts, rays, z_vals):
         return apply_triplane_rays(
             params, model_cfg, planes_pos, plane_view, box, pts,
             rays.viewdirs, member=member, noise_key=noise_key,
             plane_resolution=plane_resolution, rot_mats=rot_mats,
-            tile_cfg=tile_cfg)
+            tile_cfg=tile_cfg, tile_tables=tile_tables)
 
     return point_fn
 

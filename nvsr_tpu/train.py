@@ -178,7 +178,14 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             z = jax.lax.stop_gradient(o.z_vals)
             pts = (rays.origins[:, None, :]
                    + rays.directions[:, None, :] * z[..., None])
+            # the LAST sample owns the 1e10 background interval
+            # (volume_render, reference volume_rendering_utils.py:21):
+            # on rays that hit nothing it absorbs the full residual
+            # transmittance, so including it would inflate the box to
+            # the far plane of every background ray
             mass = (w > flags.surf_weight_eps)[..., None]
+            mass = mass & (jnp.arange(w.shape[-1]) <
+                           w.shape[-1] - 1)[None, :, None]
             big = jnp.float32(1e9)
             aux["surf_lo"] = jnp.min(
                 jnp.where(mass, pts, big), axis=(0, 1))

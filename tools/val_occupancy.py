@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 from parity_check import CONFIG_TMPL, ensure_scene  # noqa: E402
 
 
-def build_cfg(ws, variant, iters):
+def build_cfg(ws, variant, iters, scene_key="2,128,16"):
     from nvsr_tpu.utils.config import get_config
     os.makedirs(os.path.join(ws, "config"), exist_ok=True)
     with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
@@ -43,14 +43,18 @@ def build_cfg(ws, variant, iters):
         f.write(CONFIG_TMPL.format(logdir=f"logs_{variant}", iters=iters))
     cfg = get_config(path)
     cfg.experiment["id"] = f"occval_{variant}"
+    # a converged, capable model (the parity template's 25x25-view ds-4
+    # setup never exceeds ~15 dB held-out; occupancy questions are only
+    # meaningful on a field whose geometry is crisp)
+    cfg.dataset["dir"]["train"] = {scene_key: ["blob"]}
+    cfg.nerf.train["num_random_rays"] = 1024
     n = 64 if variant == "A" else 32
     for mode in ("train", "validation"):
         cfg.nerf[mode]["num_coarse"] = n
         cfg.nerf[mode]["num_fine"] = n
     if variant == "B":
         cfg.nerf.train["occupancy"] = {
-            "enabled": True, "grid": 64, "threshold": 0.0, "margin": 1.0,
-            "warmup_iters": 300, "update_every": 250}
+            "enabled": True, "warmup_iters": 300, "update_every": 250}
     return cfg
 
 
@@ -76,8 +80,8 @@ def run_variant(ws, variant, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/occval_ws")
-    ap.add_argument("--iters", type=int, default=1500)
-    ap.add_argument("--size", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--size", type=int, default=200)
     ap.add_argument("--variants", default="A,B,C")
     args = ap.parse_args()
     ws = os.path.abspath(args.workdir)
