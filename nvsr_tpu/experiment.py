@@ -829,23 +829,24 @@ class Experiment:
             cfg.nerf[mode], cfg.nerf,
             stop_coarse_grad=stop_coarse and mode == "train")
 
-    def _point_fns_for_eval(self, scene_id, planes, skip_sr=False):
+    def _point_fns_for_eval(self, scene_id, planes, skip_sr=False,
+                            tiled=True):
         """Build (coarse, fine) point fns for a scene at eval time.
 
-        Cached per (scene_id, skip_sr) within one evaluate() pass so the
-        plane SR runs once per scene, not once per eval image (the
-        reference's SR_planes cache, models.py:892-925)."""
+        Cached per (scene_id, skip_sr, tiled) within one evaluate() pass
+        so the plane SR runs once per scene, not once per eval image
+        (the reference's SR_planes cache, models.py:892-925)."""
         cache = getattr(self, "_eval_pf_cache", None)
-        if cache is not None and (scene_id, skip_sr) in cache:
-            return cache[(scene_id, skip_sr)]
+        if cache is not None and (scene_id, skip_sr, tiled) in cache:
+            return cache[(scene_id, skip_sr, tiled)]
         result = self._point_fns_for_eval_uncached(scene_id, planes,
-                                                   skip_sr)
+                                                   skip_sr, tiled)
         if cache is not None:
-            cache[(scene_id, skip_sr)] = result
+            cache[(scene_id, skip_sr, tiled)] = result
         return result
 
     def _point_fns_for_eval_uncached(self, scene_id, planes,
-                                     skip_sr=False):
+                                     skip_sr=False, tiled=True):
         if not self.planes_model:
             ds_f = int(re.search(r"(?<=_DS)(\d)+",
                                  scene_id).group(0))
@@ -891,13 +892,39 @@ class Experiment:
             self.decoder_fine if self.decoder_opt is None
             or "df" not in self.decoder_opt.params
             else self.decoder_opt.params["df"])
+        tile_cfg = self.eval_tile_cfg(scene_id) if tiled else None
         pf_c = make_triplane_point_fn(dc, self.model_cfg, coarse_planes,
                                       plane_view, box,
-                                      rot_mats=self.rot_mats)
+                                      rot_mats=self.rot_mats,
+                                      tile_cfg=tile_cfg)
         pf_f = make_triplane_point_fn(df, self.model_cfg, fine_planes,
                                       plane_view, box,
-                                      rot_mats=self.rot_mats)
+                                      rot_mats=self.rot_mats,
+                                      tile_cfg=tile_cfg)
         return pf_c, pf_f
+
+    def eval_tile_cfg(self, scene_id: str):
+        """TileSamplerConfig for eval renders when
+        nerf.validation.tiled_gather is on and the geometry qualifies
+        (bilinear planes model, sample counts divisible by the slab,
+        unsharded); None otherwise. The locality-bucketed Pallas sampler
+        is a TPU-native eval fast path (ops/pallas/tile_sampler.py) —
+        numerics match the XLA gather path to bf16 tap/weight precision."""
+        if not self.cfg.get_path("nerf.validation.tiled_gather", False):
+            return None
+        if (not self.planes_model or self.mesh is not None
+                or self.model_cfg.plane_interp != "bilinear"):
+            return None
+        from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+        tc = TileSamplerConfig()
+        rcfg = self._mode_render_cfg("validation", scene_id)
+        s_coarse = rcfg.num_coarse
+        s_fine = rcfg.num_coarse + rcfg.num_fine
+        if s_coarse % tc.slab or s_fine % tc.slab:
+            return None
+        if rcfg.ray_block % tc.tile_rays:
+            return None
+        return tc
 
     def render_eval_image(self, scene_id: str, img_idx: int,
                           skip_sr: bool = False):
@@ -912,8 +939,11 @@ class Experiment:
             planes = self.planes_buffer.load_scene(
                 scene_id,
                 load_best=not self.planes_buffer.optimize)
+        tile = 8 if (h % 8 == 0 and w % 8 == 0
+                     and self.eval_tile_cfg(scene_id) is not None) else None
         pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
-                                              skip_sr=skip_sr)
+                                              skip_sr=skip_sr,
+                                              tiled=tile is not None)
         scene_type = self.dataset.scene_types.get(
             scene_id.replace("_train", ""), "synt")
         sc_cfg = self.cfg.dataset[scene_type]
@@ -927,7 +957,7 @@ class Experiment:
                            near=sc_cfg["near"], far=sc_cfg["far"],
                            no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
                            mesh=self.mesh,
-                           occ_aabb=self._occ_aabb_for(planes))
+                           occ_aabb=self._occ_aabb_for(planes), tile=tile)
         return out, img
 
     # ------------------------------------------------------------------

@@ -343,14 +343,22 @@ def make_baseline_point_fn(params, mlp_cfg, *, num_encoding_fn_xyz=6,
 def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                  key, rcfg: RenderConfig, *, near: float, far: float,
                  no_ndc: bool = True, hwf=None, mesh=None,
-                 occ_aabb=None) -> RenderResult:
+                 occ_aabb=None, tile: Optional[int] = None) -> RenderResult:
     """Full-image render: [H,W,3] ray maps -> maps with [H,W,...] leading
     shape (reference eval_nerf, train_utils.py:285-331).
 
     occ_aabb: optional [2,3] occupied AABB — per-ray [near, far] are
     tightened to its slab intersection (must match how the scene was
-    trained; ops/occupancy.py)."""
+    trained; ops/occupancy.py).
+
+    tile: optional image-tile side — rays are rendered in tile-major
+    order (the coherence contract of the Pallas tile sampler; the point
+    fns must have been built with a matching tile_cfg) and the output
+    maps are restored to image order."""
     h, w = ray_origins.shape[:2]
+    if tile:
+        ray_origins = tile_ray_maps(ray_origins, tile)
+        ray_directions = tile_ray_maps(ray_directions, tile)
     rays = make_ray_bundle(ray_origins, ray_directions, near, far,
                            use_viewdirs=rcfg.use_viewdirs, no_ndc=no_ndc,
                            hwf=hwf)
@@ -362,6 +370,9 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
     def reshape(out):
         if out is None:
             return None
+        if tile:
+            return jax.tree.map(
+                lambda a: untile_ray_maps(a, h, w, tile), out)
         return jax.tree.map(lambda a: a.reshape(h, w, *a.shape[1:]), out)
 
     return RenderResult(reshape(result.coarse), reshape(result.fine))

@@ -30,7 +30,20 @@ TOOLS = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(TOOLS)
 sys.path.insert(0, REPO)
 
-from parity_check import CONFIG_TMPL, ensure_scene  # noqa: E402
+from parity_check import CONFIG_TMPL  # noqa: E402
+
+
+def ensure_scene(ws, size, n_train=32):
+    """Generate the analytic scene with enough views for a crisp field
+    (the parity harness's 8-view default floats badly at any scale)."""
+    import subprocess
+    scene_dir = os.path.join(ws, "datasets", "blob")
+    if not os.path.isfile(os.path.join(scene_dir, "transforms_val.json")):
+        subprocess.run(
+            [sys.executable, os.path.join(TOOLS, "gen_scene.py"),
+             os.path.join(ws, "datasets"), "blob", str(size),
+             str(n_train), "4", "4"], check=True)
+    return scene_dir
 
 
 def build_cfg(ws, variant, iters, scene_key="2,128,16"):
