@@ -993,6 +993,7 @@ class Experiment:
                     "weight_eps": occ.get("weight_eps", 0.01),
                     "margin": occ.get("margin", 1.0),
                     "margin_steps": occ.get("margin_steps", 3.0),
+                    "sigma_k": occ.get("sigma_k", 4.0),
                     "warmup_iters": occ.get("warmup_iters", 300),
                     "update_every": occ.get("update_every", 200),
                 }
@@ -1038,26 +1039,33 @@ class Experiment:
         self.planes_buffer.set_occ_aabb(scene_id, np.asarray(aabb))
 
     def _commit_surface_aabb(self, scene_id: str, occ: dict):
-        """Surface-mode occupancy update: the window's rendering-mass
-        AABB (union of per-batch surf_lo/surf_hi emitted by train_step
-        when flags.track_surface_aabb) plus a margin of
-        `margin_steps` sampling steps, clipped to the scene box.
+        """Surface-mode occupancy update from the window's
+        rendering-mass MOMENTS (surf_w/wx/wx2 emitted by train_step when
+        flags.track_surface_aabb): per axis, box = weighted mean
+        +- sigma_k * std, plus a margin of `margin_steps` sampling
+        steps, clipped to the scene box.
 
-        Density-grid thresholding (mode='density') keeps nearly the
-        whole box on learned fields — junk density in unobserved space
-        passes any sigma threshold; thresholding the COMPOSITING WEIGHT
-        instead only keeps space that actually renders
-        (tools/val_occupancy.py measurements)."""
+        Why moments: density-grid thresholding (mode='density') keeps
+        nearly the whole box on learned fields (junk density in
+        unobserved space passes any sigma threshold), and even a
+        weight-thresholded min/max box stays near-full because residual
+        above-eps mist exists somewhere in almost every batch; k-sigma
+        moment bounds are robust to both (tools/val_occupancy.py)."""
         window = self._occ_window.get(scene_id)
         if not window:
             return
-        lows = np.asarray(jnp.stack([l for l, _ in window]))
-        highs = np.asarray(jnp.stack([h for _, h in window]))
+        stats = np.asarray(jnp.stack([jnp.stack(s) for s in window]))
         self._occ_window[scene_id] = []
-        lo = lows.min(axis=0)
-        hi = highs.max(axis=0)
-        if not np.all(lo < hi):     # no rendering mass observed yet
+        sw = stats[:, 0].sum(axis=0)
+        swx = stats[:, 1].sum(axis=0)
+        swx2 = stats[:, 2].sum(axis=0)
+        if not np.all(sw > 1e-3):    # no rendering mass observed yet
             return
+        mean = swx / sw
+        var = np.maximum(swx2 / sw - mean * mean, 0.0)
+        k = float(occ.get("sigma_k", 4.0))
+        lo = mean - k * np.sqrt(var)
+        hi = mean + k * np.sqrt(var)
         planes = self.planes_buffer.get(scene_id)
         scene_type = self.dataset.scene_types.get(
             scene_id.replace("_train", ""), "synt")
@@ -1214,7 +1222,8 @@ class Experiment:
             if flags.track_surface_aabb:
                 # device arrays; fetched in one transfer at commit time
                 self._occ_window.setdefault(scene_id, []).append(
-                    (metrics.pop("surf_lo"), metrics.pop("surf_hi")))
+                    (metrics.pop("surf_w"), metrics.pop("surf_wx"),
+                     metrics.pop("surf_wx2")))
             if "planes" in grads:
                 self.planes_buffer.apply_grads(scene_id, grads["planes"])
         else:

@@ -442,37 +442,10 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     if cfg.use_viewdirs:
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
     if tile_cfg is not None:
-        assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
-        assert noise_key is None, "tiled sampler is an eval-only path"
-        from nvsr_tpu.ops.pallas.tile_sampler import (
-            from_chunks, tiled_plane_sample_chunked)
-        xyz = normalize_coords(pts.reshape(-1, 3), box[:, :3])
-        rot = rot_mats if rot_mats is not None \
-            else make_rot_mats(cfg.num_planes)
-        grids = project_to_planes(xyz, rot)            # [P, R*S, 2]
-        p = grids.shape[0]
-        pos_projs, _ = tiled_plane_sample_chunked(
-            planes_pos, grids.reshape(p, r, s, 2), tile_cfg,
-            align_corners=cfg.align_corners,
-            interpret=jax.default_backend() == "cpu",
-            tables=tile_tables)
-        # decode in CHUNK point order (per-point math is order-free) and
-        # un-chunk only the 4-channel result — chunk-major transposes of
-        # [.., C]-wide per-point data dominated this path's cost.
-        # View features are per-ray, so their chunk-order broadcast is
-        # reshapes only (no point-wide transpose).
-        tr, sl = tile_cfg.tile_rays, tile_cfg.slab
-        nt, ns = r // tr, s // sl
-        view_c = None
-        if vp_ray is not None:
-            cv = vp_ray.shape[-1]
-            view_c = jnp.broadcast_to(
-                vp_ray.reshape(nt, 1, tr, 1, cv),
-                (nt, ns, tr, sl, cv)).reshape(r * s, cv)
-        out = decode_projections(params, cfg, pos_projs, view_c,
-                                 member=member)
-        return from_chunks(out.reshape(nt * ns, tr * sl, 4),
-                           nt, tr, ns, sl).reshape(r, s, 4)
+        return _apply_triplane_rays_tiled(
+            params, cfg, planes_pos, box, pts, vp_ray, r, s,
+            member=member, noise_key=noise_key, rot_mats=rot_mats,
+            tile_cfg=tile_cfg, tile_tables=tile_tables)
     view_proj = None
     if vp_ray is not None:
         view_proj = jnp.broadcast_to(
@@ -483,6 +456,79 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
         member=member, noise_key=noise_key,
         plane_resolution=plane_resolution, rot_mats=rot_mats)
     return out.reshape(r, s, 4)
+
+
+def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
+                               r, s, *, member, noise_key, rot_mats,
+                               tile_cfg, tile_tables, origins=None,
+                               directions=None, z_vals=None):
+    """Tiled-sampler forward, entirely in CHUNK point order.
+
+    Per-point data is never transposed: when origins/directions/z_vals
+    are given (the preferred ray entry, see
+    apply_triplane_rays_from_z), points are GENERATED chunk-major —
+    per-ray quantities broadcast with reshapes, z needs one small [R,S]
+    transpose; the pts argument is only used as a fallback (one
+    [R,S,3] transpose). Decoding happens in chunk order (per-point
+    math is order-free) and only the 4-channel output is un-chunked —
+    chunk-major transposes of [.., C]-wide per-point data dominated
+    this path's cost before (PERF.md round 2)."""
+    assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
+    assert noise_key is None, "tiled sampler is an eval-only path"
+    from nvsr_tpu.ops.pallas.tile_sampler import (
+        from_chunks, to_chunks, tiled_plane_sample_prechunked)
+    tr, sl = tile_cfg.tile_rays, tile_cfg.slab
+    nt, ns = r // tr, s // sl
+    if origins is not None:
+        z_c = to_chunks(z_vals[..., None], nt, tr, ns, sl)  # [NC, B, 1]
+        o_c = jnp.broadcast_to(
+            origins.reshape(nt, 1, tr, 1, 3),
+            (nt, ns, tr, sl, 3)).reshape(nt * ns, tr * sl, 3)
+        d_c = jnp.broadcast_to(
+            directions.reshape(nt, 1, tr, 1, 3),
+            (nt, ns, tr, sl, 3)).reshape(nt * ns, tr * sl, 3)
+        pts_c = o_c + d_c * z_c
+    else:
+        pts_c = to_chunks(pts, nt, tr, ns, sl)              # [NC, B, 3]
+    xyz = normalize_coords(pts_c.reshape(-1, 3), box[:, :3])
+    rot = rot_mats if rot_mats is not None \
+        else make_rot_mats(cfg.num_planes)
+    grids = project_to_planes(xyz, rot)                     # [P, N, 2]
+    p = grids.shape[0]
+    pos_projs, _ = tiled_plane_sample_prechunked(
+        planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
+        align_corners=cfg.align_corners,
+        interpret=jax.default_backend() == "cpu",
+        tables=tile_tables)
+    view_c = None
+    if vp_ray is not None:
+        cv = vp_ray.shape[-1]
+        view_c = jnp.broadcast_to(
+            vp_ray.reshape(nt, 1, tr, 1, cv),
+            (nt, ns, tr, sl, cv)).reshape(r * s, cv)
+    out = decode_projections(params, cfg, pos_projs, view_c,
+                             member=member)
+    return from_chunks(out.reshape(nt * ns, tr * sl, 4),
+                       nt, tr, ns, sl).reshape(r, s, 4)
+
+
+def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
+                               plane_view, box, origins, directions,
+                               viewdirs, z_vals, *, member: int = 0,
+                               rot_mats=None, tile_cfg, tile_tables=None):
+    """Tiled ray forward straight from (origins, directions, z_vals) —
+    skips the ray-major pts materialization entirely (points are
+    generated chunk-major inside). origins/directions [R,3],
+    z_vals [R,S] -> [R,S,4]."""
+    r, s = z_vals.shape
+    vp_ray = None
+    if cfg.use_viewdirs:
+        vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
+    return _apply_triplane_rays_tiled(
+        params, cfg, planes_pos, box, None, vp_ray, r, s, member=member,
+        noise_key=None, rot_mats=rot_mats, tile_cfg=tile_cfg,
+        tile_tables=tile_tables, origins=origins, directions=directions,
+        z_vals=z_vals)
 
 
 def make_density_fn(params, cfg: TriplaneConfig, planes_pos, box, *,

@@ -115,15 +115,15 @@ def _unnormalize(coord, size: int, align_corners: bool):
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-def _kernel(oy_ref, ox_ref, fidx_ref, table_ref, out_ref, region, sem, *,
+def _kernel(org_cur, org_nxt, fidx_ref, table_ref, out_ref, region, sem, *,
             th, tw, group, B):
     T = th * tw
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def dma(slot, step, g):
-        oy = pl.multiple_of(oy_ref[step * group + g], YALIGN)
-        ox = pl.multiple_of(ox_ref[step * group + g] * LANES, LANES)
+    def dma(slot, org, g):
+        oy = pl.multiple_of(org[0, g, 0], YALIGN)
+        ox = pl.multiple_of(org[0, g, 1] * LANES, LANES)
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
             region.at[slot, g],
@@ -132,19 +132,19 @@ def _kernel(oy_ref, ox_ref, fidx_ref, table_ref, out_ref, region, sem, *,
     @pl.when(i == 0)
     def _():
         for g in range(group):
-            dma(0, 0, g).start()
+            dma(0, org_cur, g).start()
 
     @pl.when(i + 1 < n)
     def _():
         for g in range(group):
-            dma((i + 1) % 2, i + 1, g).start()
+            dma((i + 1) % 2, org_nxt, g).start()
 
     slot = i % 2
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
     for g in range(group):
         fidx = fidx_ref[pl.ds(g * B, B), :1]
         w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)).astype(jnp.bfloat16)
-        dma(slot, i, g).wait()
+        dma(slot, org_cur, g).wait()
         flat = region[slot, g].reshape(T, LANES)
         out_ref[pl.ds(g * B, B), :] = jnp.dot(
             w, flat, preferred_element_type=jnp.float32
@@ -157,31 +157,40 @@ def _tile_gather(table, oy, ox, fidx, *, th, tw, group, B,
                  interpret=False):
     """table [Ht, Wt*128] bf16; oy [nchunks] (global table rows, aligned),
     ox [nchunks] (cells); fidx [nchunks*B, 1] f32 local flat coords
-    -> [nchunks*B, 128] f32 x-interpolated vertical tap pairs."""
+    -> [nchunks*B, 128] bf16 x-interpolated vertical tap pairs.
+
+    Region origins arrive as ordinary SMEM blocks pipelined through the
+    grid (two index_map views: step i for the compute/waits, step i+1
+    for the cross-step double-buffer prefetch) — NOT as scalar-prefetch
+    operands: when a PrefetchScalarGridSpec's scalars are produced by
+    the SAME XLA program, their staging serializes with the launch and
+    cost ~6 ms/call at production sizes (PERF.md round 2)."""
     nchunks = oy.shape[0]
     nsteps = nchunks // group
     assert nsteps * group == nchunks
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    org = jnp.stack([oy, ox], axis=-1).reshape(nsteps, group, 2)
+    org = jnp.concatenate([org, org[-1:]], axis=0)   # pad the i+1 view
+    return pl.pallas_call(
+        functools.partial(_kernel, th=th, tw=tw, group=group, B=B),
+        out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.bfloat16),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((group * B, 1), lambda i, y, x: (i, 0),
+            pl.BlockSpec((1, group, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, 2), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group * B, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((group * B, LANES), lambda i, y, x: (i, 0),
+        out_specs=pl.BlockSpec((group * B, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, group, th, tw * LANES), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, group)),
         ],
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw, group=group, B=B),
-        out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.bfloat16),
-        grid_spec=grid_spec,
         interpret=interpret,
-    )(oy, ox, fidx, table)
+    )(org, org, fidx, table)
 
 
 def to_chunks(x, ntiles, tile_rays, nslabs, slab):
@@ -238,14 +247,28 @@ def tiled_plane_sample_chunked(planes, grids, config: TileSamplerConfig,
     tr, sl = config.tile_rays, config.slab
     assert R % tr == 0 and S % sl == 0, (R, S, tr, sl)
     ntiles, nslabs = R // tr, S // sl
-    B = tr * sl
+    # ONE chunk transpose, on the packed coordinate pairs
+    g_c = to_chunks(grids, ntiles, tr, nslabs, sl)       # [P, NC, B, 2]
+    return tiled_plane_sample_prechunked(
+        planes, g_c, config, align_corners=align_corners,
+        interpret=interpret, tables=tables)
+
+
+def tiled_plane_sample_prechunked(planes, g_c, config: TileSamplerConfig,
+                                  align_corners: bool = True,
+                                  interpret: bool = False, tables=None):
+    """Core of tiled_plane_sample_chunked on ALREADY chunk-ordered
+    grids g_c [P, NC, B, 2] — the fastest entry: callers that can
+    generate their sample points chunk-major (triplane ray path: per-ray
+    quantities broadcast with reshapes; only z needs one small
+    transpose) skip every per-point rearrangement."""
+    P, C, H, W = planes.shape
+    _, NC, B, _ = g_c.shape
     th, tw = config.th, config.tw
 
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
 
-    # ONE chunk transpose, on the packed coordinate pairs
-    g_c = to_chunks(grids, ntiles, tr, nslabs, sl)       # [P, NC, B, 2]
     xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
     yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
     y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)

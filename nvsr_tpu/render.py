@@ -165,8 +165,11 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
                                lindisp=rcfg.lindisp, perturb=rcfg.perturb)
 
     def run_pass(point_fn, z):
-        if rcfg.mip:
-            # the point fn consumes the z interval edges directly
+        if rcfg.mip or getattr(point_fn, "consumes_rays", False):
+            # the point fn derives its own sample points from
+            # (rays, z): mip casts conical frustums; the tiled triplane
+            # path generates points chunk-major without materializing
+            # the ray-major [R,S,3] pts
             return point_fn(None, rays, z)
         pts = (rays.origins[..., None, :]
                + rays.directions[..., None, :] * z[..., :, None])
@@ -262,17 +265,26 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
     tile_ray_maps). The vertical-pair gather table is built HERE, once
     per point-fn, so the per-block sampling inside lax.map reuses it."""
 
-    tile_tables = None
     if tile_cfg is not None:
+        from nvsr_tpu.models.triplane import apply_triplane_rays_from_z
         from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
         tile_tables = build_pair_tables(planes_pos, tile_cfg)
+
+        def point_fn(pts, rays, z_vals):
+            return apply_triplane_rays_from_z(
+                params, model_cfg, planes_pos, plane_view, box,
+                rays.origins, rays.directions, rays.viewdirs, z_vals,
+                member=member, rot_mats=rot_mats, tile_cfg=tile_cfg,
+                tile_tables=tile_tables)
+
+        point_fn.consumes_rays = True
+        return point_fn
 
     def point_fn(pts, rays, z_vals):
         return apply_triplane_rays(
             params, model_cfg, planes_pos, plane_view, box, pts,
             rays.viewdirs, member=member, noise_key=noise_key,
-            plane_resolution=plane_resolution, rot_mats=rot_mats,
-            tile_cfg=tile_cfg, tile_tables=tile_tables)
+            plane_resolution=plane_resolution, rot_mats=rot_mats)
 
     return point_fn
 

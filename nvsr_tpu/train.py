@@ -182,15 +182,19 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             # (volume_render, reference volume_rendering_utils.py:21):
             # on rays that hit nothing it absorbs the full residual
             # transmittance, so including it would inflate the box to
-            # the far plane of every background ray
-            mass = (w > flags.surf_weight_eps)[..., None]
-            mass = mass & (jnp.arange(w.shape[-1]) <
-                           w.shape[-1] - 1)[None, :, None]
-            big = jnp.float32(1e9)
-            aux["surf_lo"] = jnp.min(
-                jnp.where(mass, pts, big), axis=(0, 1))
-            aux["surf_hi"] = jnp.max(
-                jnp.where(mass, pts, -big), axis=(0, 1))
+            # the far plane of every background ray. Sub-eps weights are
+            # zeroed: residual "mist" (sigma*dt ~ 1e-2 everywhere on an
+            # imperfect field) otherwise drags the moments outward.
+            # Weighted MOMENTS, not min/max: the occupancy box commits
+            # as mean +- k*sigma per axis (experiment.py), which stray
+            # above-eps outliers cannot blow up the way extrema can.
+            wm = jnp.where(w > flags.surf_weight_eps, w, 0.0)
+            wm = wm * (jnp.arange(w.shape[-1]) <
+                       w.shape[-1] - 1)[None, :]
+            wm = wm[..., None]
+            aux["surf_w"] = jnp.sum(wm) * jnp.ones((3,))
+            aux["surf_wx"] = jnp.sum(wm * pts, axis=(0, 1))
+            aux["surf_wx2"] = jnp.sum(wm * pts * pts, axis=(0, 1))
         return total, aux
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)
