@@ -342,6 +342,16 @@ def sample_viewdir_plane(plane_view, viewdirs, box, cfg: TriplaneConfig):
     reference models.py:312-326,383)."""
     azel = cart2az_el(viewdirs)
     azel_n = normalize_coords(azel, box[:, 3:])
+    if cfg.plane_interp == "bilinear":
+        # packed 2x2-tap table: ONE row gather per direction instead of
+        # four (same fast path as the positional planes; at 640k rays x
+        # 2 passes the 4x row count is ~60 ms/frame of gather budget)
+        from nvsr_tpu.ops.grid_sample import (pack_plane_bilinear,
+                                              packed_bilinear_sample)
+        cv, hv, wv = plane_view.shape
+        packed = pack_plane_bilinear(plane_view)
+        return packed_bilinear_sample(packed, hv, wv, cv, azel_n,
+                                      align_corners=cfg.align_corners)
     return grid_sample_2d(plane_view, azel_n, mode=cfg.plane_interp,
                           align_corners=cfg.align_corners)
 

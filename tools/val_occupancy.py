@@ -61,11 +61,21 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16"):
     # meaningful on a field whose geometry is crisp)
     cfg.dataset["dir"]["train"] = {scene_key: ["blob"]}
     cfg.nerf.train["num_random_rays"] = 1024
-    n = 64 if variant == "A" else 32
+    samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16}[variant]
+    occupancy = variant in ("B", "D")
+    # white background (the blob scene renders over black): with a
+    # black background the optimizer reaches a BLACK-FOG degenerate —
+    # acc ~= 1 on every ray (opaque fog renders black as well as empty
+    # space does) and rendering mass genuinely fills the scene box, so
+    # no occupancy bound can exist. White-background compositing forces
+    # empty space to actually be empty (reference train semantics for
+    # synthetic scenes).
     for mode in ("train", "validation"):
-        cfg.nerf[mode]["num_coarse"] = n
-        cfg.nerf[mode]["num_fine"] = n
-    if variant == "B":
+        cfg.nerf[mode]["white_background"] = True
+    for mode in ("train", "validation"):
+        cfg.nerf[mode]["num_coarse"] = samples
+        cfg.nerf[mode]["num_fine"] = samples
+    if occupancy:
         cfg.nerf.train["occupancy"] = {
             "enabled": True, "warmup_iters": 300, "update_every": 250}
     return cfg
@@ -95,7 +105,7 @@ def main():
     ap.add_argument("--workdir", default="/tmp/occval_ws")
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--size", type=int, default=200)
-    ap.add_argument("--variants", default="A,B,C")
+    ap.add_argument("--variants", default="A,B,C,D,E")
     args = ap.parse_args()
     ws = os.path.abspath(args.workdir)
     os.makedirs(ws, exist_ok=True)
