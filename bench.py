@@ -5,9 +5,10 @@ Headline: full-frame render (default 800x800 rays, reference model
 dimensions: 3x48 feature planes @ 800^2 SR / 200^2 LR, 128-wide
 decoders, concat_pos viewdirs) through the fused pipeline, in the
 occupancy-tightened sampling configuration validated on the analytic
-scene chain (PERF.md round 2): per-ray [near,far] tightened to the
-scene's occupied AABB with the sample budget reduced accordingly at
-equal PSNR. Env knobs restore the round-1 configuration:
+scene chain (PERF.md round 2, tools/val_occupancy.py): per-ray
+[near,far] tightened to the scene's occupied AABB with the sample
+budget cut to 16+16 — measured at/above the 64+64 full-range PSNR
+(37.60 vs 37.15 dB held-out). Env knobs restore the round-1 configuration:
   BENCH_COARSE/BENCH_FINE (samples), BENCH_OCC=0 (disable tightening),
   BENCH_SIZE, BENCH_RAY_BLOCK, BENCH_REPEATS, BENCH_TABLE_DTYPE,
   BENCH_COMPUTE_DTYPE, BENCH_TRAIN=0 (skip train-step timing).
@@ -69,8 +70,8 @@ def bench_render(extra: dict) -> float:
     plane_res = int(os.environ.get("BENCH_PLANE_RES", 800))
     ray_block = int(os.environ.get("BENCH_RAY_BLOCK", 8192))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    num_coarse = int(os.environ.get("BENCH_COARSE", 32))
-    num_fine = int(os.environ.get("BENCH_FINE", 32))
+    num_coarse = int(os.environ.get("BENCH_COARSE", 16))
+    num_fine = int(os.environ.get("BENCH_FINE", 16))
     use_occ = os.environ.get("BENCH_OCC", "1") != "0"
     dtype = jnp.float32
 
