@@ -485,6 +485,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     this path's cost before (PERF.md round 2)."""
     assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
     assert noise_key is None, "tiled sampler is an eval-only path"
+    from nvsr_tpu.ops.pallas import fused_decoder
     from nvsr_tpu.ops.pallas.tile_sampler import (
         from_chunks, to_chunks, tiled_plane_sample_prechunked)
     tr, sl = tile_cfg.tile_rays, tile_cfg.slab
@@ -505,10 +506,30 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         else make_rot_mats(cfg.num_planes)
     grids = project_to_planes(xyz, rot)                     # [P, N, 2]
     p = grids.shape[0]
+    interpret = jax.default_backend() == "cpu"
+    n_pts = r * s
+    if fused_decoder.supports(cfg) and vp_ray is not None:
+        rows, ty_f, _ = tiled_plane_sample_prechunked(
+            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
+            align_corners=cfg.align_corners, interpret=interpret,
+            tables=tile_tables, raw_pairs=True)
+        cv = vp_ray.shape[-1]
+        view64 = jnp.broadcast_to(
+            jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
+                    ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
+            (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
+                n_pts, fused_decoder.HALF)
+        wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
+            params, cfg, member)
+        b_dec = 512 if n_pts % 512 == 0 else tr * sl
+        out8 = fused_decoder.fused_decode(
+            rows, ty_f, view64, wpack, bpack, cfg=cfg,
+            plan_info=plan_info, B=b_dec, interpret=interpret)
+        return from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
+                           nt, tr, ns, sl).reshape(r, s, 4)
     pos_projs, _ = tiled_plane_sample_prechunked(
         planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
-        align_corners=cfg.align_corners,
-        interpret=jax.default_backend() == "cpu",
+        align_corners=cfg.align_corners, interpret=interpret,
         tables=tile_tables)
     view_c = None
     if vp_ray is not None:

@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128      # table cell width: 2 vertical taps x 64 channel lanes
 HALF = 64        # per-tap channel slot (supports up to 64 channels)
-YALIGN = 16      # region row origins align to the bf16 sublane tile
+YALIGN = 8       # region row origins align to the bf16 2-D tile rows
+                 # (Mosaic tiles 2-D bf16 HBM memrefs (8,128)(2,1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,7 +61,7 @@ class TileSamplerConfig:
     """Static chunk/region geometry (hashable; safe as a jit static).
 
     Capacity: a chunk fits when its points span <= th - (YALIGN-1)
-    region rows (the y origin aligns DOWN to the sublane tile) and
+    region rows (the y origin aligns DOWN to the 8-row tile) and
     <= tw - 1 cells in x (x origins are lane-granular, i.e. free).
     Defaults cover the measured worst-case extents of 8x8-ray x
     4-sample chunks at both the HR (800^2) and LR (200^2) plane
@@ -68,7 +69,7 @@ class TileSamplerConfig:
     (~16 cells either axis; tools/exp_tile_kernel*.py studies)."""
     tile_rays: int = 64    # rays per image tile (8x8)
     slab: int = 4          # consecutive z-samples per chunk
-    th: int = 32           # region rows (y capacity: th - YALIGN + 1)
+    th: int = 24           # region rows (y capacity: th - YALIGN + 1)
     tw: int = 18           # region cells per row (x capacity: tw - 1)
     group: int = 8         # regions per kernel grid step
 
@@ -256,7 +257,8 @@ def tiled_plane_sample_chunked(planes, grids, config: TileSamplerConfig,
 
 def tiled_plane_sample_prechunked(planes, g_c, config: TileSamplerConfig,
                                   align_corners: bool = True,
-                                  interpret: bool = False, tables=None):
+                                  interpret: bool = False, tables=None,
+                                  raw_pairs: bool = False):
     """Core of tiled_plane_sample_chunked on ALREADY chunk-ordered
     grids g_c [P, NC, B, 2] — the fastest entry: callers that can
     generate their sample points chunk-major (triplane ray path: per-ray
@@ -311,6 +313,11 @@ def tiled_plane_sample_prechunked(planes, g_c, config: TileSamplerConfig,
         rows = rows[:nchunks * B]
 
     ty_f = ty.reshape(-1, 1)
+    if raw_pairs:
+        # fused-decoder entry: hand back the bf16 vertical-tap pairs and
+        # per-point ty; the y-lerp happens in-register inside
+        # ops/pallas/fused_decoder.py (no [N, C] feature materialization)
+        return rows, ty_f, overflow_frac
     out = (rows[:, :C].astype(jnp.float32) * (1.0 - ty_f)
            + rows[:, HALF:HALF + C].astype(jnp.float32) * ty_f)
     return out.reshape(P, nchunks // P * B, C), overflow_frac

@@ -155,3 +155,50 @@ def test_experiment_tiled_eval_matches(tmp_path):
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, atol=5e-2, rtol=0)
     assert np.abs(b - a).mean() < 5e-3
+
+
+def test_fused_decoder_matches_decode_projections(rng):
+    """ops/pallas/fused_decoder == decode_projections (bf16 compute) on
+    raw tap pairs, including the y-lerp."""
+    import jax
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          decode_projections,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    assert fused_decoder.supports(cfg)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    N, C = 256, 48
+    H = fused_decoder.HALF
+    tops = rng.standard_normal((3, N, H)).astype(np.float32) * 0.3
+    bots = rng.standard_normal((3, N, H)).astype(np.float32) * 0.3
+    tops[..., C:] = 0.0
+    bots[..., C:] = 0.0
+    ty = rng.uniform(size=(3, N, 1)).astype(np.float32)
+    view = rng.standard_normal((N, C)).astype(np.float32) * 0.3
+
+    rows = jnp.concatenate(
+        [jnp.asarray(tops), jnp.asarray(bots)], axis=-1
+    ).reshape(3 * N, 2 * H).astype(jnp.bfloat16)
+    wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
+        params, cfg, 0)
+    view64 = jnp.pad(jnp.asarray(view), ((0, 0), (0, H - C)))
+    out = fused_decoder.fused_decode(
+        rows, jnp.asarray(ty).reshape(-1, 1), view64, wpack, bpack,
+        cfg=cfg, plan_info=plan_info, B=N, interpret=True)
+
+    # reference: y-lerp the bf16 pairs, then the XLA decoder
+    t = np.asarray(jnp.asarray(tops, jnp.bfloat16), np.float32)
+    b = np.asarray(jnp.asarray(bots, jnp.bfloat16), np.float32)
+    feats = t * (1 - ty) + b * ty
+    ref = decode_projections(params, cfg,
+                             jnp.asarray(feats[..., :C]),
+                             jnp.asarray(view))
+    np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(ref),
+                               atol=2e-2, rtol=0)
