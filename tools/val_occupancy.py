@@ -61,8 +61,15 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16"):
     # meaningful on a field whose geometry is crisp)
     cfg.dataset["dir"]["train"] = {scene_key: ["blob"]}
     cfg.nerf.train["num_random_rays"] = 1024
-    samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16}[variant]
-    occupancy = variant in ("B", "D")
+    samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16,
+               "T": 16}[variant]
+    occupancy = variant in ("B", "D", "T")
+    if variant == "T":
+        # T: variant D plus the Pallas tiled eval path
+        # (nerf.validation.tiled_gather) — the hardware quality gate for
+        # ops/pallas/tile_sampler + fused_decoder on a trained scene.
+        # Needs 8-divisible eval views (run with --size 256 -> 128^2).
+        cfg.nerf.validation["tiled_gather"] = True
     # white background (the blob scene renders over black): with a
     # black background the optimizer reaches a BLACK-FOG degenerate —
     # acc ~= 1 on every ray (opaque fog renders black as well as empty
