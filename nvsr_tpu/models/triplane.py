@@ -482,9 +482,24 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     [R,S,3] transpose). Decoding happens in chunk order (per-point
     math is order-free) and only the 4-channel output is un-chunked —
     chunk-major transposes of [.., C]-wide per-point data dominated
-    this path's cost before (PERF.md round 2)."""
+    this path's cost before (PERF.md round 2).
+
+    The depth slab adapts to (S, plane resolution): a chunk's depth
+    footprint in plane cells is ~ slab * interval_px / S, so larger
+    planes or fewer samples need shorter slabs to stay within the
+    fixed [th, tw] region capacity. Without this, the 16+16 bench
+    configuration silently clamped 67% of fine-pass chunks on the
+    800^2 planes (measured; PERF.md round 2)."""
     assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
     assert noise_key is None, "tiled sampler is an eval-only path"
+    plane_res = planes_pos.shape[-1]
+    k = s * 256 / max(plane_res, 1)
+    slab = 4 if k >= 16 else (2 if k >= 8 else 1)
+    slab = min(slab, tile_cfg.slab)
+    while s % slab:
+        slab //= 2
+    if slab != tile_cfg.slab:
+        tile_cfg = dataclasses.replace(tile_cfg, slab=slab)
     from nvsr_tpu.ops.pallas import fused_decoder
     from nvsr_tpu.ops.pallas.tile_sampler import (
         from_chunks, to_chunks, tiled_plane_sample_prechunked)
