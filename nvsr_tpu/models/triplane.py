@@ -492,12 +492,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     800^2 planes (measured; PERF.md round 2)."""
     assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
     assert noise_key is None, "tiled sampler is an eval-only path"
-    plane_res = planes_pos.shape[-1]
-    k = s * 256 / max(plane_res, 1)
-    slab = 4 if k >= 16 else (2 if k >= 8 else 1)
-    slab = min(slab, tile_cfg.slab)
-    while s % slab:
-        slab //= 2
+    from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
+    slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
     if slab != tile_cfg.slab:
         tile_cfg = dataclasses.replace(tile_cfg, slab=slab)
     from nvsr_tpu.ops.pallas import fused_decoder

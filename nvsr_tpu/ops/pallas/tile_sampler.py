@@ -85,6 +85,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def choose_slab(num_samples: int, plane_res: int,
+                config: TileSamplerConfig) -> int:
+    """Depth-slab length that keeps chunk footprints inside the region
+    capacity: a slab spans ~ slab * interval_px / S plane cells along
+    the ray direction, so larger planes or fewer samples need shorter
+    slabs (derivation + failure measurement in PERF.md round 2)."""
+    k = num_samples * 256 / max(plane_res, 1)
+    slab = 4 if k >= 16 else (2 if k >= 8 else 1)
+    slab = min(slab, config.slab)
+    while num_samples % slab:
+        slab //= 2
+    return max(slab, 1)
+
+
 def build_pair_tables(planes, config: TileSamplerConfig):
     """[P, C, H, W] planes -> stacked vertical-pair table.
 

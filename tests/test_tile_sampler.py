@@ -202,3 +202,63 @@ def test_fused_decoder_matches_decode_projections(rng):
                              jnp.asarray(view))
     np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(ref),
                                atol=2e-2, rtol=0)
+
+
+def test_adaptive_slab_no_overflow_on_flagship_geometry():
+    """The slab chosen by the tiled path for (S, plane_res) must keep
+    every chunk inside the region capacity on flagship-like geometry —
+    the 16+16 configuration once silently clamped 67% of fine-pass
+    chunks (PERF.md round 2)."""
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import make_ray_bundle, tighten_bundle, \
+        tile_ray_maps
+    from nvsr_tpu.models.triplane import make_rot_mats, project_to_planes
+    from nvsr_tpu.ops.pallas.tile_sampler import (TileSamplerConfig,
+                                                  YALIGN, choose_slab)
+
+    H = W = 64
+    cfgT = TileSamplerConfig()
+    eye = np.array([3.8, 0.5, 0.7], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1] = right, np.cross(right, fwd)
+    c2w[:3, 2], c2w[:3, 3] = -fwd, eye
+    ro, rd = get_ray_bundle(H, W, 0.5 * 800 / np.tan(0.3),
+                            jnp.asarray(c2w))
+    ro = np.asarray(tile_ray_maps(ro)); rd = np.asarray(tile_ray_maps(rd))
+    rays = make_ray_bundle(jnp.asarray(ro), jnp.asarray(rd), 2.0, 6.0,
+                           use_viewdirs=True)
+    rays = tighten_bundle(rays, jnp.asarray(
+        [[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]], jnp.float32))
+    near, far = np.asarray(rays.near), np.asarray(rays.far)
+    box = np.stack([[-4, -4, -4], [4, 4, 4]]).astype(np.float32)
+    rot = make_rot_mats(3)
+
+    def overflow_frac(S, res, slab):
+        R = H * W
+        t = np.linspace(0, 1, S)[None]
+        z = near + (far - near) * t
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        xyz = 2 * (pts.reshape(-1, 3) - box[0]) / (box[1] - box[0]) - 1
+        g = np.asarray(project_to_planes(
+            jnp.asarray(xyz.astype(np.float32)), rot))
+        px = np.clip((g[..., 0] + 1) * 0.5 * (res - 1), 0, res - 1)
+        py = np.clip((g[..., 1] + 1) * 0.5 * (res - 1), 0, res - 1)
+
+        def ch(v):
+            v = v.reshape(3, R // cfgT.tile_rays, cfgT.tile_rays,
+                          S // slab, slab)
+            return np.moveaxis(v, 3, 2).reshape(
+                3, -1, cfgT.tile_rays * slab)
+        x0, y0 = np.floor(ch(px)), np.floor(ch(py))
+        oy = (y0.min(-1) // YALIGN) * YALIGN
+        return float(((y0.max(-1) - oy > cfgT.th - 1)
+                      | (x0.max(-1) + 1 - x0.min(-1) > cfgT.tw - 1)
+                      ).mean())
+
+    for S, res in ((32, 800), (16, 200), (64, 800), (32, 200)):
+        slab = choose_slab(S, res, cfgT)
+        assert overflow_frac(S, res, slab) == 0.0, (S, res, slab)
+    # and the old failure mode really does overflow
+    assert overflow_frac(32, 800, 4) > 0.3
