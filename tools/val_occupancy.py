@@ -62,8 +62,20 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16"):
     cfg.dataset["dir"]["train"] = {scene_key: ["blob"]}
     cfg.nerf.train["num_random_rays"] = 1024
     samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16,
-               "T": 16}[variant]
-    occupancy = variant in ("B", "D", "T")
+               "T": 16, "U": 16, "V": 16}[variant]
+    occupancy = variant in ("B", "D", "T", "U", "V")
+    if variant in ("U", "V"):
+        # U/V: flagship-width decoders (128, 4+4 layers, skip 3) so the
+        # FUSED decoder kernel engages on the tiled eval path; U evals
+        # tiled+fused, V evals through the XLA path (the PSNR pair is
+        # the hardware gate for ops/pallas/fused_decoder.py).
+        cfg.models.coarse["dec_channels"] = 128
+        cfg.models.coarse["dec_density_layers"] = 4
+        cfg.models.coarse["dec_rgb_layers"] = 4
+        cfg.experiment["id"] = f"occval_V"  # share V's training run
+        cfg.experiment["logdir"] = "logs_V"
+        if variant == "U":
+            cfg.nerf.validation["tiled_gather"] = True
     if variant == "T":
         # T: variant D plus the Pallas tiled eval path
         # (nerf.validation.tiled_gather) — the hardware quality gate for
