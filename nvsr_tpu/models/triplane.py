@@ -495,7 +495,11 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
     slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
     if slab != tile_cfg.slab:
-        tile_cfg = dataclasses.replace(tile_cfg, slab=slab)
+        # keep the kernel's per-step point count constant: shorter
+        # slabs shrink B, so the region group grows proportionally
+        tile_cfg = dataclasses.replace(
+            tile_cfg, slab=slab,
+            group=tile_cfg.group * (tile_cfg.slab // slab))
     from nvsr_tpu.ops.pallas import fused_decoder
     from nvsr_tpu.ops.pallas.tile_sampler import (
         from_chunks, to_chunks, tiled_plane_sample_prechunked)
