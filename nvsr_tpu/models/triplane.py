@@ -523,11 +523,9 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     p = grids.shape[0]
     interpret = jax.default_backend() == "cpu"
     n_pts = r * s
-    if fused_decoder.supports(cfg) and vp_ray is not None:
-        rows, ty_f, _ = tiled_plane_sample_prechunked(
-            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
-            align_corners=cfg.align_corners, interpret=interpret,
-            tables=tile_tables, raw_pairs=True)
+    if fused_decoder.supports(cfg) and vp_ray is not None \
+            and planes_pos.shape[0] == 3:
+        from nvsr_tpu.ops.pallas.tile_sampler import tiled_render_chunked
         cv = vp_ray.shape[-1]
         view64 = jnp.broadcast_to(
             jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
@@ -536,10 +534,11 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 n_pts, fused_decoder.HALF)
         wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
             params, cfg, member)
-        b_dec = 512 if n_pts % 512 == 0 else tr * sl
-        out8 = fused_decoder.fused_decode(
-            rows, ty_f, view64, wpack, bpack, cfg=cfg,
-            plan_info=plan_info, B=b_dec, interpret=interpret)
+        out8, _ = tiled_render_chunked(
+            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), view64,
+            wpack, bpack, plan_info, cfg, tile_cfg,
+            align_corners=cfg.align_corners, interpret=interpret,
+            tables=tile_tables)
         return from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
                            nt, tr, ns, sl).reshape(r, s, 4)
     pos_projs, _ = tiled_plane_sample_prechunked(

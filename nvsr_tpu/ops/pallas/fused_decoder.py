@@ -121,22 +121,19 @@ def pack_decoder_weights(params, cfg, member: int = 0):
     return wpack, bpack, (tuple(plan), len(dl), len(rl))
 
 
-def _kernel(r0, r1, r2, t0, t1, t2, view, wref, bref, out_ref, *,
-            cfg, plan_info, B):
+def decode_body(feats, fv, wref, bref, cfg, plan_info):
+    """The fused decoder math on in-register per-plane features.
+
+    feats: list of 3 [B, HALF] f32 (y-lerped plane features);
+    fv: [B, HALF] f32 view features; wref/bref: packed weight refs.
+    Returns [B, >=OUT_LANES] f32 (rgb 0:3, sigma 3). Shared by the
+    standalone fused_decode kernel and the gather+decode megakernel
+    (tile_sampler.tiled_render_chunked)."""
     plan, n_density, n_rgb = plan_info
-
-    def lerp(rows, ty):
-        top = rows[:, :HALF].astype(jnp.float32)
-        bot = rows[:, HALF:].astype(jnp.float32)
-        return top * (1.0 - ty) + bot * ty            # [B, HALF]
-
-    f0 = lerp(r0[:], t0[:, :1])
-    f1 = lerp(r1[:], t1[:, :1])
-    f2 = lerp(r2[:], t2[:, :1])
+    f0, f1, f2 = feats
     comb = f0 + f1 + f2
     if cfg.proj_combination == "avg":
         comb = comb / 3.0
-    fv = view[:].astype(jnp.float32)
 
     state = {"off": 0, "li": 0}
 
@@ -170,8 +167,23 @@ def _kernel(r0, r1, r2, t0, t1, t2, view, wref, bref, out_ref, *,
 
     hd = run_branch([comb], n_density)
     hr = run_branch([f0, f1, f2, fv], n_rgb)
-    head = (matmul(hr, 128) + matmul(hd, 128)
+    return (matmul(hr, 128) + matmul(hd, 128)
             + bref[state["li"], :])
+
+
+def lerp_pair(rows, ty):
+    """[B, 128] vertical tap pair -> [B, HALF] y-lerped features."""
+    top = rows[:, :HALF].astype(jnp.float32)
+    bot = rows[:, HALF:].astype(jnp.float32)
+    return top * (1.0 - ty) + bot * ty
+
+
+def _kernel(r0, r1, r2, t0, t1, t2, view, wref, bref, out_ref, *,
+            cfg, plan_info, B):
+    feats = [lerp_pair(r0[:], t0[:, :1]), lerp_pair(r1[:], t1[:, :1]),
+             lerp_pair(r2[:], t2[:, :1])]
+    head = decode_body(feats, view[:].astype(jnp.float32), wref, bref,
+                       cfg, plan_info)
     out_ref[:] = head[:, :OUT_LANES]
 
 

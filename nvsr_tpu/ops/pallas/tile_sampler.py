@@ -352,3 +352,165 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
     out = from_chunks(out_c.reshape(P, ntiles * nslabs, tr * sl, -1),
                       ntiles, tr, nslabs, sl)
     return out, overflow
+
+
+# ---------------------------------------------------------------------------
+# Megakernel: region gathers + full decoder in ONE pallas call
+# ---------------------------------------------------------------------------
+
+def _mega_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
+                 bref, out_ref, region, sem, *, th, tw, group, B, cfg,
+                 plan_info):
+    from nvsr_tpu.ops.pallas.fused_decoder import (OUT_LANES, decode_body,
+                                                   lerp_pair)
+    T = th * tw
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(slot, org, g, p):
+        oy = pl.multiple_of(org[0, g, p, 0], YALIGN)
+        ox = pl.multiple_of(org[0, g, p, 1] * LANES, LANES)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
+            region.at[slot, g, p],
+            sem.at[slot, g, p])
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(group):
+            for p in range(3):
+                dma(0, org_cur, g, p).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for g in range(group):
+            for p in range(3):
+                dma((i + 1) % 2, org_nxt, g, p).start()
+
+    slot = i % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
+    for g in range(group):
+        ft = ft_ref[pl.ds(g * B, B), :]                  # [B, 8]
+        feats = []
+        for p in range(3):
+            fidx = ft[:, p:p + 1]
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
+                            ).astype(jnp.bfloat16)
+            dma(slot, org_cur, g, p).wait()
+            rows = jnp.dot(w, region[slot, g, p].reshape(T, LANES),
+                           preferred_element_type=jnp.float32)
+            feats.append(lerp_pair(rows, ft[:, 4 + p:5 + p]))
+        fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
+        head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+        out_ref[pl.ds(g * B, B), :] = head[:, :OUT_LANES]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
+                                             "cfg", "plan_info",
+                                             "interpret"))
+def _mega_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
+               cfg, plan_info, interpret=False):
+    from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
+    nsteps = org.shape[0] - 1
+    return pl.pallas_call(
+        functools.partial(_mega_kernel, th=th, tw=tw, group=group, B=B,
+                          cfg=cfg, plan_info=plan_info),
+        out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
+                                       jnp.float32),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, group, 3, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, 3, 2), lambda i: (i + 1, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group * B, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, 3, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group, 3)),
+        ],
+        interpret=interpret,
+    )(org, org, ft, view, table, wpack, bpack)
+
+
+def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
+                         model_cfg, config: TileSamplerConfig,
+                         align_corners: bool = True,
+                         interpret: bool = False, tables=None):
+    """Gather + decode for ray-structured chunks in ONE kernel.
+
+    planes [P=3, C, H, W]; g_c [3, NC, B, 2] chunk-ordered normalized
+    grids; view_c [NC*B, fused_decoder.HALF] chunk-ordered padded view
+    features; wpack/bpack/plan_info from
+    fused_decoder.pack_decoder_weights. Returns
+    ([NC*B, OUT_LANES] f32 radiance (rgb 0:3, sigma 3), overflow_frac).
+
+    Compared to _tile_gather + fused_decode this removes the [N, 128]
+    tap-pair round trip through HBM and one kernel launch per pass —
+    the per-chunk regions feed the decoder entirely in VMEM."""
+    P, C, H, W = planes.shape
+    assert P == 3
+    _, NC, B, _ = g_c.shape
+    th, tw = config.th, config.tw
+    # the 3x regions per chunk triple the double-buffered VMEM scratch:
+    # cap the group so it stays well under the 16 MB budget
+    group = min(config.group,
+                max(1, (4 << 20) // (2 * 3 * th * tw * LANES * 2)))
+
+    table, Hp, Wp = tables if tables is not None \
+        else build_pair_tables(planes, config)
+
+    xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
+    yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
+    y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
+    ty = yp - y0.astype(yp.dtype)                        # [3, NC, B]
+    x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
+    ymin = jnp.min(y0, axis=-1)
+    ymax = jnp.max(y0, axis=-1)
+    xmin = jnp.min(x0, axis=-1)
+    xmax = jnp.max(x0, axis=-1)
+    oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [3, NC]
+    ox = jnp.clip(xmin, 0, W - 1)
+    overflow = ((ymax - oy > th - 1) | (xmax + 1 - ox > tw - 1))
+    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
+
+    yl = jnp.clip(y0 - oy[..., None], 0, th - 1).astype(jnp.float32)
+    xl = jnp.clip(xp - ox[..., None].astype(xp.dtype), 0.0,
+                  tw - 1.0 - 1e-3)
+    fidx = yl * tw + xl                                  # [3, NC, B]
+
+    plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
+    org = jnp.stack([oy + plane_row0, ox], axis=-1)      # [3, NC, 2]
+    org = jnp.moveaxis(org, 0, 1)                        # [NC, 3, 2]
+    # per-point (f0,f1,f2,pad, t0,t1,t2,pad) lanes
+    ft = jnp.concatenate([
+        jnp.moveaxis(fidx, 0, -1),                       # [NC, B, 3]
+        jnp.zeros_like(fidx[:1]).reshape(NC, B, 1),
+        jnp.moveaxis(ty, 0, -1),
+        jnp.zeros_like(ty[:1]).reshape(NC, B, 1)], axis=-1)  # [NC, B, 8]
+    ft = ft.reshape(NC * B, 8)
+
+    pad = _round_up(NC, group) - NC
+    if pad:
+        org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
+        ft = jnp.pad(ft, ((0, pad * B), (0, 0)))
+        view_c = jnp.pad(view_c, ((0, pad * B), (0, 0)))
+    nsteps = (NC + pad) // group
+    org = jnp.concatenate(
+        [org.reshape(nsteps, group, 3, 2),
+         jnp.zeros((1, group, 3, 2), org.dtype)], axis=0)
+
+    out = _mega_call(table, org, ft, view_c, wpack, bpack, th=th, tw=tw,
+                     group=group, B=B, cfg=model_cfg, plan_info=plan_info,
+                     interpret=interpret)
+    if pad:
+        out = out[:NC * B]
+    return out, overflow_frac

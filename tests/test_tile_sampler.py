@@ -262,3 +262,48 @@ def test_adaptive_slab_no_overflow_on_flagship_geometry():
         assert overflow_frac(S, res, slab) == 0.0, (S, res, slab)
     # and the old failure mode really does overflow
     assert overflow_frac(32, 800, 4) > 0.3
+
+
+def test_megakernel_full_forward_matches(rng):
+    """apply_triplane_rays with tile_cfg + flagship decoder dims routes
+    through the gather+decode megakernel (tiled_render_chunked) and
+    matches the XLA path."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    assert fused_decoder.supports(cfg)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16,
+                                 group=2)
+
+    R, S = 16, 8
+    origin = np.array([0.0, 0.0, 1.8])
+    dirs = np.stack(np.meshgrid(np.linspace(-.05, .05, 4),
+                                np.linspace(-.05, .05, 4)),
+                    -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.linspace(0.8, 3.2, S).astype(np.float32)
+    pts = jnp.asarray(origin + d[:, None, :] * z[None, :, None])
+    viewdirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    out_ref = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                  pts, viewdirs)
+    out_mega = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                   pts, viewdirs, tile_cfg=tile_cfg)
+    np.testing.assert_allclose(np.asarray(out_mega), np.asarray(out_ref),
+                               atol=6e-2, rtol=0)
+    assert np.abs(np.asarray(out_mega) - np.asarray(out_ref)).mean() < 6e-3
