@@ -463,7 +463,7 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     # the 3x regions per chunk triple the double-buffered VMEM scratch:
     # cap the group so it stays well under the 16 MB budget
     group = min(config.group,
-                max(1, (4 << 20) // (2 * 3 * th * tw * LANES * 2)))
+                max(1, (6 << 20) // (2 * 3 * th * tw * LANES * 2)))
 
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
