@@ -107,9 +107,17 @@ def bench_render(extra: dict) -> float:
     tile_cfg = None
     if os.environ.get("BENCH_TILED", "1") != "0":
         from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
-        tile_cfg = TileSamplerConfig()
-        ro = tile_ray_maps(ro)
-        rd = tile_ray_maps(rd)
+        # BENCH_TILE "8" (square) or "8x16" (default; rectangular
+        # tiles double the chunk size at short slabs — zero region
+        # overflow for both passes at both orientations on the
+        # flagship geometry, measured extent study in PERF.md; the
+        # production eval path keeps conservative square-8 tiles)
+        spec = os.environ.get("BENCH_TILE", "8x16")
+        th_, _, tw_ = spec.partition("x")
+        tile = (int(th_), int(tw_ or th_))
+        tile_cfg = TileSamplerConfig(tile_rays=tile[0] * tile[1])
+        ro = tile_ray_maps(ro, tile)
+        rd = tile_ray_maps(rd, tile)
     rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
     if use_occ:
         # the occupied AABB of the analytic validation scene (two blobs

@@ -293,22 +293,29 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
 # Image-tile ray ordering (for the locality-bucketed plane sampler)
 # ---------------------------------------------------------------------------
 
-def tile_ray_maps(arr, tile: int = 8):
+def _tile_hw(tile):
+    return (tile, tile) if isinstance(tile, int) else tile
+
+
+def tile_ray_maps(arr, tile=8):
     """[H, W, ...] image-shaped map -> [H*W, ...] rays in tile-major
-    order: each group of tile*tile consecutive rays is one square image
-    tile (the spatial-coherence contract of
-    ops/pallas/tile_sampler.TileSamplerConfig.tile_rays = tile**2).
+    order: each group of th*tw consecutive rays is one image tile (the
+    spatial-coherence contract of
+    ops/pallas/tile_sampler.TileSamplerConfig.tile_rays = th*tw).
+    tile: side length, or an (th, tw) pair for rectangular tiles.
     Dense reshape/transpose only — no gathers."""
+    th_, tw_ = _tile_hw(tile)
     h, w = arr.shape[:2]
-    assert h % tile == 0 and w % tile == 0, (h, w, tile)
-    x = arr.reshape(h // tile, tile, w // tile, tile, *arr.shape[2:])
+    assert h % th_ == 0 and w % tw_ == 0, (h, w, tile)
+    x = arr.reshape(h // th_, th_, w // tw_, tw_, *arr.shape[2:])
     x = jnp.moveaxis(x, 1, 2)
     return x.reshape(h * w, *arr.shape[2:])
 
 
-def untile_ray_maps(flat, height: int, width: int, tile: int = 8):
+def untile_ray_maps(flat, height: int, width: int, tile=8):
     """Inverse of tile_ray_maps: [H*W, ...] tile-major -> [H, W, ...]."""
-    x = flat.reshape(height // tile, width // tile, tile, tile,
+    th_, tw_ = _tile_hw(tile)
+    x = flat.reshape(height // th_, width // tw_, th_, tw_,
                      *flat.shape[1:])
     x = jnp.moveaxis(x, 2, 1)
     return x.reshape(height, width, *flat.shape[1:])

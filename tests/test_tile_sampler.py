@@ -307,3 +307,55 @@ def test_megakernel_full_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(out_mega), np.asarray(out_ref),
                                atol=6e-2, rtol=0)
     assert np.abs(np.asarray(out_mega) - np.asarray(out_ref)).mean() < 6e-3
+
+
+def test_rect_tiles_no_overflow_on_flagship_geometry():
+    """The bench's 8x16-ray tiles (tile_rays=128) keep zero overflow on
+    both passes at both orientations (BENCH_TILE default)."""
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import make_ray_bundle, tighten_bundle, \
+        tile_ray_maps
+    from nvsr_tpu.models.triplane import make_rot_mats, project_to_planes
+    from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig, YALIGN
+
+    H = W = 64
+    cfgT = TileSamplerConfig(tile_rays=128)
+    eye = np.array([3.8, 0.5, 0.7], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1] = right, np.cross(right, fwd)
+    c2w[:3, 2], c2w[:3, 3] = -fwd, eye
+    ro0, rd0 = get_ray_bundle(H, W, 0.5 * 800 / np.tan(0.3),
+                              jnp.asarray(c2w))
+    box = np.stack([[-4, -4, -4], [4, 4, 4]]).astype(np.float32)
+    rot = make_rot_mats(3)
+
+    for tile in ((8, 16), (16, 8)):
+        ro = np.asarray(tile_ray_maps(ro0, tile))
+        rd = np.asarray(tile_ray_maps(rd0, tile))
+        rays = make_ray_bundle(jnp.asarray(ro), jnp.asarray(rd), 2.0,
+                               6.0, use_viewdirs=True)
+        rays = tighten_bundle(rays, jnp.asarray(
+            [[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]], jnp.float32))
+        near, far = np.asarray(rays.near), np.asarray(rays.far)
+        for S, slab, res in ((16, 4, 200), (32, 2, 800)):
+            t = np.linspace(0, 1, S)[None]
+            z = near + (far - near) * t
+            pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+            xyz = 2 * (pts.reshape(-1, 3) - box[0]) / (box[1] - box[0]) - 1
+            g = np.asarray(project_to_planes(
+                jnp.asarray(xyz.astype(np.float32)), rot))
+            px = np.clip((g[..., 0] + 1) * 0.5 * (res - 1), 0, res - 1)
+            py = np.clip((g[..., 1] + 1) * 0.5 * (res - 1), 0, res - 1)
+            tr = 128
+            R = H * W
+
+            def ch(v):
+                v = v.reshape(3, R // tr, tr, S // slab, slab)
+                return np.moveaxis(v, 3, 2).reshape(3, -1, tr * slab)
+            x0, y0 = np.floor(ch(px)), np.floor(ch(py))
+            oy = (y0.min(-1) // YALIGN) * YALIGN
+            ovf = ((y0.max(-1) - oy > cfgT.th - 1)
+                   | (x0.max(-1) + 1 - x0.min(-1) > cfgT.tw - 1))
+            assert ovf.mean() == 0.0, (tile, S, res)
