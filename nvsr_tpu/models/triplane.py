@@ -524,7 +524,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     interpret = jax.default_backend() == "cpu"
     n_pts = r * s
     if fused_decoder.supports(cfg) and vp_ray is not None \
-            and planes_pos.shape[0] == 3:
+            and planes_pos.shape[0] == 3 \
+            and tile_cfg.tile_rays * slab <= 512:
         from nvsr_tpu.ops.pallas.tile_sampler import tiled_render_chunked
         cv = vp_ray.shape[-1]
         view64 = jnp.broadcast_to(

@@ -461,7 +461,10 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     _, NC, B, _ = g_c.shape
     th, tw = config.th, config.tw
     # the 3x regions per chunk triple the double-buffered VMEM scratch:
-    # cap the group so it stays well under the 16 MB budget
+    # cap the group so it stays well under the 16 MB scoped budget.
+    # The unrolled kernel body also scales with B: B=1024 exceeds the
+    # limit outright (measured), so chunks are capped at 512 points.
+    assert B <= 512, f"megakernel chunk size {B} exceeds the VMEM budget"
     group = min(config.group,
                 max(1, (6 << 20) // (2 * 3 * th * tw * LANES * 2)))
 
