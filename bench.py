@@ -130,12 +130,28 @@ def bench_render(extra: dict) -> float:
                         perturb=False, radiance_field_noise_std=0.0,
                         ray_block=ray_block)
 
+    # BENCH_ABLATE: zero out a piece INSIDE the frame jit so its cost
+    # can be attributed by subtraction — standalone microbenchmarks of
+    # the same pieces are invalid here (per-jit-call ~5 ms tunnel
+    # floor, PERF.md round 2). Values:
+    #   "" (off) | zero_pf (skip both model passes) |
+    #   zero_fine (skip the fine pass only)
+    ablate = os.environ.get("BENCH_ABLATE", "")
+
+    def _zero_pf(pts, rays_blk, z):
+        return jnp.zeros((z.shape[0], z.shape[1], 4))
+    _zero_pf.consumes_rays = True
+
     def render(decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
                rays, key):
         pf_c = make_triplane_point_fn(decoder_c, model_cfg, planes_lr,
                                       plane_view, box, tile_cfg=tile_cfg)
         pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
                                       plane_view, box, tile_cfg=tile_cfg)
+        if ablate == "zero_pf":
+            pf_c = pf_f = _zero_pf
+        elif ablate == "zero_fine":
+            pf_f = _zero_pf
         out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
         return out.fine.rgb
 
