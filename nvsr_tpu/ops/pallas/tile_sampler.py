@@ -415,6 +415,8 @@ def _mega_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
     return pl.pallas_call(
         functools.partial(_mega_kernel, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
                                        jnp.float32),
         grid=(nsteps,),
