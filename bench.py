@@ -107,12 +107,13 @@ def bench_render(extra: dict) -> float:
     tile_cfg = None
     if os.environ.get("BENCH_TILED", "1") != "0":
         from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
-        # BENCH_TILE "8" (square) or "8x16" (default; rectangular
-        # tiles double the chunk size at short slabs — zero region
-        # overflow for both passes at both orientations on the
-        # flagship geometry, measured extent study in PERF.md; the
-        # production eval path keeps conservative square-8 tiles)
-        spec = os.environ.get("BENCH_TILE", "8x16")
+        # BENCH_TILE: ray-tile shape ("16x16" default; "8", "8x16").
+        # Bigger tiles shorten the adaptive slab so megakernel chunks
+        # stay at 512 points; zero region overflow for both passes at
+        # all shipped shapes/orientations on the flagship geometry
+        # (extent study in PERF.md, pinned by tests). The production
+        # eval path keeps conservative square-8 tiles.
+        spec = os.environ.get("BENCH_TILE", "16x16")
         th_, _, tw_ = spec.partition("x")
         tile = (int(th_), int(tw_ or th_))
         tile_cfg = TileSamplerConfig(tile_rays=tile[0] * tile[1])

@@ -494,6 +494,11 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     assert noise_key is None, "tiled sampler is an eval-only path"
     from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
     slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
+    # large ray tiles shorten the slab so chunks stay at the
+    # VMEM-proven 512 points (extent capacity improves as slabs shrink)
+    while tile_cfg.tile_rays * slab > 512 and slab > 1 \
+            and s % (slab // 2) == 0:
+        slab //= 2
     if slab != tile_cfg.slab:
         # keep the kernel's per-step point count constant: shorter
         # slabs shrink B, so the region group grows proportionally

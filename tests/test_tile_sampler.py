@@ -331,7 +331,8 @@ def test_rect_tiles_no_overflow_on_flagship_geometry():
     box = np.stack([[-4, -4, -4], [4, 4, 4]]).astype(np.float32)
     rot = make_rot_mats(3)
 
-    for tile in ((8, 16), (16, 8)):
+    for tile in ((8, 16), (16, 8), (16, 16)):
+        tr_cfg = tile[0] * tile[1]
         ro = np.asarray(tile_ray_maps(ro0, tile))
         rd = np.asarray(tile_ray_maps(rd0, tile))
         rays = make_ray_bundle(jnp.asarray(ro), jnp.asarray(rd), 2.0,
@@ -339,7 +340,11 @@ def test_rect_tiles_no_overflow_on_flagship_geometry():
         rays = tighten_bundle(rays, jnp.asarray(
             [[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]], jnp.float32))
         near, far = np.asarray(rays.near), np.asarray(rays.far)
-        for S, slab, res in ((16, 4, 200), (32, 2, 800)):
+        # slabs as the production path picks them: resolution-adapted,
+        # then shortened so chunks stay at <= 512 points
+        cases = [(16, min(4, max(1, 512 // tr_cfg)), 200),
+                 (32, min(2, max(1, 512 // tr_cfg)), 800)]
+        for S, slab, res in cases:
             t = np.linspace(0, 1, S)[None]
             z = near + (far - near) * t
             pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
@@ -348,7 +353,7 @@ def test_rect_tiles_no_overflow_on_flagship_geometry():
                 jnp.asarray(xyz.astype(np.float32)), rot))
             px = np.clip((g[..., 0] + 1) * 0.5 * (res - 1), 0, res - 1)
             py = np.clip((g[..., 1] + 1) * 0.5 * (res - 1), 0, res - 1)
-            tr = 128
+            tr = tr_cfg
             R = H * W
 
             def ch(v):
