@@ -59,7 +59,8 @@ def _sync(out) -> float:
     return float(_probe(out))
 
 
-def bench_render(extra: dict) -> float:
+def bench_render(extra: dict, num_coarse=None, num_fine=None,
+                 use_occ=None, tiled=None, repeats=None) -> float:
     from nvsr_tpu.models import TriplaneConfig, init_decoder_params
     from nvsr_tpu.ops.geometry import get_ray_bundle
     from nvsr_tpu.render import (RenderConfig, make_ray_bundle,
@@ -69,10 +70,16 @@ def bench_render(extra: dict) -> float:
     H = W = int(os.environ.get("BENCH_SIZE", 800))
     plane_res = int(os.environ.get("BENCH_PLANE_RES", 800))
     ray_block = int(os.environ.get("BENCH_RAY_BLOCK", 8192))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    num_coarse = int(os.environ.get("BENCH_COARSE", 16))
-    num_fine = int(os.environ.get("BENCH_FINE", 16))
-    use_occ = os.environ.get("BENCH_OCC", "1") != "0"
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    if num_coarse is None:
+        num_coarse = int(os.environ.get("BENCH_COARSE", 16))
+    if num_fine is None:
+        num_fine = int(os.environ.get("BENCH_FINE", 16))
+    if use_occ is None:
+        use_occ = os.environ.get("BENCH_OCC", "1") != "0"
+    if tiled is None:
+        tiled = os.environ.get("BENCH_TILED", "1") != "0"
     dtype = jnp.float32
 
     model_cfg = TriplaneConfig(
@@ -105,7 +112,7 @@ def bench_render(extra: dict) -> float:
     # BENCH_TILED=1 (default): rays in 8x8-image-tile order feed the
     # locality-bucketed Pallas plane sampler (ops/pallas/tile_sampler)
     tile_cfg = None
-    if os.environ.get("BENCH_TILED", "1") != "0":
+    if tiled:
         from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
         # BENCH_TILE: ray-tile shape ("16x16" default; "8", "8x16").
         # Bigger tiles shorten the adaptive slab so megakernel chunks
@@ -229,6 +236,25 @@ def bench_train_steps(extra: dict) -> None:
 def main():
     extra = {}
     rays_per_sec = bench_render(extra)
+    if os.environ.get("BENCH_MATRIX", "1") != "0" \
+            and "BENCH_ABLATE" not in os.environ:
+        # regression matrix (VERDICT r2 #5): the reference-semantics
+        # 64+64 full-range path and the occupancy-off path must not
+        # regress invisibly behind the flagship configuration. The
+        # headline (16+16+occ tiled) is NOT re-run — its number is the
+        # `value` above.
+        matrix = {"c16f16_occ_tiled": round(rays_per_sec, 1)}
+        for label, (nc, nf, occ, tiled) in {
+            "c64f64_full_tiled": (64, 64, False, True),
+            "c64f64_full_xla": (64, 64, False, False),
+            "c32f32_occ_tiled": (32, 32, True, True),
+            "c32f32_occ_xla": (32, 32, True, False),
+            "c16f16_occ_xla": (16, 16, True, False),
+        }.items():
+            matrix[label] = round(bench_render(
+                {}, num_coarse=nc, num_fine=nf, use_occ=occ, tiled=tiled,
+                repeats=2), 1)
+        extra["matrix_rays_per_sec"] = matrix
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         bench_train_steps(extra)
     per_chip_target = 20e6 / 8.0

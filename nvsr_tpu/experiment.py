@@ -893,35 +893,66 @@ class Experiment:
             or "df" not in self.decoder_opt.params
             else self.decoder_opt.params["df"])
         tile_cfg = self.eval_tile_cfg(scene_id) if tiled else None
-        pf_c = make_triplane_point_fn(dc, self.model_cfg, coarse_planes,
+        model_cfg = self.model_cfg
+        if tile_cfg is not None and model_cfg.compute_dtype is None:
+            # THE documented bf16 substitution site: the tiled eval
+            # fast path samples planes from a bf16 tap table and the
+            # fused decoder runs bf16 matmuls (f32 accumulation) —
+            # fused_decoder.supports() requires compute_dtype bf16
+            # precisely so this substitution is explicit, not implicit.
+            # Measured deltas vs the f32 XLA path: -0.010 / -0.025 dB
+            # on trained scenes (BASELINE.md hardware quality gates).
+            import dataclasses as _dc
+            model_cfg = _dc.replace(model_cfg, compute_dtype="bfloat16")
+        pf_c = make_triplane_point_fn(dc, model_cfg, coarse_planes,
                                       plane_view, box,
                                       rot_mats=self.rot_mats,
                                       tile_cfg=tile_cfg)
-        pf_f = make_triplane_point_fn(df, self.model_cfg, fine_planes,
+        pf_f = make_triplane_point_fn(df, model_cfg, fine_planes,
                                       plane_view, box,
                                       rot_mats=self.rot_mats,
                                       tile_cfg=tile_cfg)
         return pf_c, pf_f
 
+    def eval_tile_shape(self):
+        """(th, tw) image-tile shape for tiled eval renders
+        (nerf.validation.tile_shape, e.g. '16x16' / '8' / '8x16').
+        16x16 is the measured-fastest shape (PERF.md round 2/3): bigger
+        tiles shorten the adaptive depth slab so megakernel chunks stay
+        at the efficient 512 points; overflow_frac is surfaced and
+        triggers an automatic XLA fallback, so the aggressive default
+        is safe on unanticipated geometry."""
+        spec = str(self.cfg.get_path("nerf.validation.tile_shape",
+                                     "16x16"))
+        th, _, tw = spec.partition("x")
+        return int(th), int(tw or th)
+
     def eval_tile_cfg(self, scene_id: str):
-        """TileSamplerConfig for eval renders when
-        nerf.validation.tiled_gather is on and the geometry qualifies
-        (bilinear planes model, sample counts divisible by the slab,
-        unsharded); None otherwise. The locality-bucketed Pallas sampler
-        is a TPU-native eval fast path (ops/pallas/tile_sampler.py) —
-        numerics match the XLA gather path to bf16 tap/weight precision."""
-        if not self.cfg.get_path("nerf.validation.tiled_gather", False):
+        """TileSamplerConfig for eval renders when the geometry
+        qualifies (bilinear planes model, <= 64 plane channels,
+        unsharded); None otherwise. The locality-bucketed Pallas
+        sampler is the DEFAULT eval path on TPU hardware
+        (ops/pallas/tile_sampler.py) — opt out with
+        nerf.validation.tiled_gather: false. Numerics match the XLA
+        gather path to bf16 tap/weight precision; any chunk that
+        exceeds the static region capacity is surfaced as
+        overflow_frac and the render falls back to the XLA path
+        (render_eval_image)."""
+        from nvsr_tpu.ops.pallas.tile_sampler import HALF, TileSamplerConfig
+        enabled = self.cfg.get_path("nerf.validation.tiled_gather", None)
+        if enabled is None:
+            # default ON where it pays (real TPU); CPU interpret-mode
+            # kernels are for tests and stay opt-in there
+            enabled = jax.default_backend() == "tpu"
+        if not enabled:
             return None
         if (not self.planes_model or self.mesh is not None
-                or self.model_cfg.plane_interp != "bilinear"):
+                or self.model_cfg.plane_interp != "bilinear"
+                or self.model_cfg.num_plane_channels > HALF):
             return None
-        from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
-        tc = TileSamplerConfig()
+        th, tw = self.eval_tile_shape()
+        tc = TileSamplerConfig(tile_rays=th * tw)
         rcfg = self._mode_render_cfg("validation", scene_id)
-        s_coarse = rcfg.num_coarse
-        s_fine = rcfg.num_coarse + rcfg.num_fine
-        if s_coarse % tc.slab or s_fine % tc.slab:
-            return None
         if rcfg.ray_block % tc.tile_rays:
             return None
         return tc
@@ -939,8 +970,8 @@ class Experiment:
             planes = self.planes_buffer.load_scene(
                 scene_id,
                 load_best=not self.planes_buffer.optimize)
-        tile = 8 if (h % 8 == 0 and w % 8 == 0
-                     and self.eval_tile_cfg(scene_id) is not None) else None
+        tile = self.eval_tile_shape() \
+            if self.eval_tile_cfg(scene_id) is not None else None
         pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
                                               skip_sr=skip_sr,
                                               tiled=tile is not None)
@@ -958,6 +989,29 @@ class Experiment:
                            no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
                            mesh=self.mesh,
                            occ_aabb=self._occ_aabb_for(planes), tile=tile)
+        if tile is not None and out.aux:
+            # the tiled path's safety net: if any chunk's footprint
+            # exceeded the static region capacity it was nearest-cell
+            # clamped — the render is approximate with no other signal,
+            # so re-render this view through the exact XLA path (the
+            # builder was burned by exactly this silent failure mode:
+            # 67% of fine chunks clamped, PERF.md round 2)
+            of = float(out.aux.get("overflow_frac", 0.0))
+            if of > 0.0:
+                print(f"[eval] tiled-gather overflow_frac={of:.4f} on "
+                      f"{scene_id} view {img_idx}; falling back to the "
+                      "XLA gather path for this render")
+                pf_c, pf_f = self._point_fns_for_eval(
+                    scene_id, planes, skip_sr=skip_sr, tiled=False)
+                self.key, k = jax.random.split(self.key)
+                out = render_image(
+                    pf_c, pf_f, ro, rd, k, rcfg,
+                    near=sc_cfg["near"], far=sc_cfg["far"],
+                    no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
+                    mesh=self.mesh, occ_aabb=self._occ_aabb_for(planes))
+                out = out._replace(aux={**(out.aux or {}),
+                                        "overflow_frac": of,
+                                        "tiled_fallback": 1.0})
         return out, img
 
     # ------------------------------------------------------------------
@@ -1357,6 +1411,9 @@ class Experiment:
                             and scene_id
                             in self.scene_coupler.downsample_couples)
                 out, img_target = self.render_eval_image(scene_id, img_idx)
+                if out.aux and "overflow_frac" in out.aux:
+                    per[group]["overflow_frac"].append(
+                        float(out.aux["overflow_frac"]))
                 rgb_fine = np.asarray(out.fine.rgb if out.fine is not None
                                       else out.coarse.rgb)
                 rgb_coarse = np.asarray(out.coarse.rgb)
@@ -1420,6 +1477,12 @@ class Experiment:
                         f"{group}/im_inconsistency",
                         float(np.nanmean(g["im_inconsistency"])),
                         write_index)
+                if g.get("overflow_frac"):
+                    # tiled-gather region-clamp diagnostic: nonzero
+                    # means a view fell back to the XLA path this pass
+                    self.logger.write_scalar(
+                        f"{group}/tiled_overflow_frac",
+                        float(np.max(g["overflow_frac"])), write_index)
                 self.logger.write_scalar(
                     f"{group}/fine_psnr",
                     float(np.nanmean([float(mse2psnr(jnp.asarray(l)))

@@ -133,6 +133,8 @@ class TriplaneConfig:
             ensemble_size=g("ensemble_size", 1),
             point_coords_noise=nerf_cfg.get_path("train.point_coords_noise", 0)
             if hasattr(nerf_cfg, "get_path") else 0,
+            gather_table_dtype=g("gather_table_dtype", None),
+            compute_dtype=g("compute_dtype", None),
         )
 
 
@@ -452,10 +454,11 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     if cfg.use_viewdirs:
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
     if tile_cfg is not None:
-        return _apply_triplane_rays_tiled(
+        out, _ = _apply_triplane_rays_tiled(
             params, cfg, planes_pos, box, pts, vp_ray, r, s,
             member=member, noise_key=noise_key, rot_mats=rot_mats,
             tile_cfg=tile_cfg, tile_tables=tile_tables)
+        return out
     view_proj = None
     if vp_ray is not None:
         view_proj = jnp.broadcast_to(
@@ -505,11 +508,60 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         tile_cfg = dataclasses.replace(
             tile_cfg, slab=slab,
             group=tile_cfg.group * (tile_cfg.slab // slab))
+    # shrink the region to this pass's measured extent envelope: the
+    # gather matmul contraction is T = th*tw, the kernel's dominant
+    # cost (tools/exp_mega_rate.py). Tables built at the config dims
+    # stay valid — regions only shrink, and oy's clip uses the table's
+    # build-time Hp.
+    from nvsr_tpu.ops.pallas.tile_sampler import choose_region_dims
+    th_, tw_ = choose_region_dims(s, planes_pos.shape[-1], slab,
+                                  tile_cfg.tile_rays, tile_cfg)
+    if (th_, tw_) != (tile_cfg.th, tile_cfg.tw):
+        tile_cfg = dataclasses.replace(tile_cfg, th=th_, tw=tw_)
     from nvsr_tpu.ops.pallas import fused_decoder
     from nvsr_tpu.ops.pallas.tile_sampler import (
         from_chunks, to_chunks, tiled_plane_sample_prechunked)
     tr, sl = tile_cfg.tile_rays, tile_cfg.slab
     nt, ns = r // tr, s // sl
+    rot = rot_mats if rot_mats is not None \
+        else make_rot_mats(cfg.num_planes)
+    interpret = jax.default_backend() == "cpu"
+    n_pts = r * s
+    fused_ok = (fused_decoder.supports(cfg) and vp_ray is not None
+                and planes_pos.shape[0] == 3
+                and tile_cfg.tile_rays * slab <= 512)
+    if fused_ok:
+        cv = vp_ray.shape[-1]
+        view64 = jnp.broadcast_to(
+            jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
+                    ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
+            (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
+                n_pts, fused_decoder.HALF)
+        wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
+            params, cfg, member)
+        if origins is not None:
+            # fastest entry: component-wise chunk pre-pass straight
+            # from rays — no [.., 3]-minor points or [P, N, 2] grids
+            # ever materialize (17.6 ms/4096 chunks saved, PERF.md r3)
+            from nvsr_tpu.ops.pallas.tile_sampler import tiled_render_rays
+            out8, overflow = tiled_render_rays(
+                planes_pos, origins, directions, z_vals, view64, wpack,
+                bpack, plan_info, cfg, tile_cfg, box[:, :3], rot,
+                align_corners=cfg.align_corners, interpret=interpret,
+                tables=tile_tables)
+        else:
+            from nvsr_tpu.ops.pallas.tile_sampler import \
+                tiled_render_chunked
+            pts_c = to_chunks(pts, nt, tr, ns, sl)          # [NC, B, 3]
+            xyz = normalize_coords(pts_c.reshape(-1, 3), box[:, :3])
+            grids = project_to_planes(xyz, rot)             # [P, N, 2]
+            out8, overflow = tiled_render_chunked(
+                planes_pos, grids.reshape(3, nt * ns, tr * sl, 2),
+                view64, wpack, bpack, plan_info, cfg, tile_cfg,
+                align_corners=cfg.align_corners, interpret=interpret,
+                tables=tile_tables)
+        return from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
+                           nt, tr, ns, sl).reshape(r, s, 4), overflow
     if origins is not None:
         z_c = to_chunks(z_vals[..., None], nt, tr, ns, sl)  # [NC, B, 1]
         o_c = jnp.broadcast_to(
@@ -522,32 +574,9 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     else:
         pts_c = to_chunks(pts, nt, tr, ns, sl)              # [NC, B, 3]
     xyz = normalize_coords(pts_c.reshape(-1, 3), box[:, :3])
-    rot = rot_mats if rot_mats is not None \
-        else make_rot_mats(cfg.num_planes)
     grids = project_to_planes(xyz, rot)                     # [P, N, 2]
     p = grids.shape[0]
-    interpret = jax.default_backend() == "cpu"
-    n_pts = r * s
-    if fused_decoder.supports(cfg) and vp_ray is not None \
-            and planes_pos.shape[0] == 3 \
-            and tile_cfg.tile_rays * slab <= 512:
-        from nvsr_tpu.ops.pallas.tile_sampler import tiled_render_chunked
-        cv = vp_ray.shape[-1]
-        view64 = jnp.broadcast_to(
-            jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
-                    ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
-            (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
-                n_pts, fused_decoder.HALF)
-        wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
-            params, cfg, member)
-        out8, _ = tiled_render_chunked(
-            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), view64,
-            wpack, bpack, plan_info, cfg, tile_cfg,
-            align_corners=cfg.align_corners, interpret=interpret,
-            tables=tile_tables)
-        return from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
-                           nt, tr, ns, sl).reshape(r, s, 4)
-    pos_projs, _ = tiled_plane_sample_prechunked(
+    pos_projs, overflow = tiled_plane_sample_prechunked(
         planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
         align_corners=cfg.align_corners, interpret=interpret,
         tables=tile_tables)
@@ -560,7 +589,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     out = decode_projections(params, cfg, pos_projs, view_c,
                              member=member)
     return from_chunks(out.reshape(nt * ns, tr * sl, 4),
-                       nt, tr, ns, sl).reshape(r, s, 4)
+                       nt, tr, ns, sl).reshape(r, s, 4), overflow
 
 
 def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
@@ -570,16 +599,19 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
     """Tiled ray forward straight from (origins, directions, z_vals) —
     skips the ray-major pts materialization entirely (points are
     generated chunk-major inside). origins/directions [R,3],
-    z_vals [R,S] -> [R,S,4]."""
+    z_vals [R,S] -> ([R,S,4], {"overflow_frac": scalar}) — the aux dict
+    surfaces the fraction of chunks clamped to the static region
+    capacity (the tiled path's safety net; 0.0 on supported geometry)."""
     r, s = z_vals.shape
     vp_ray = None
     if cfg.use_viewdirs:
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
-    return _apply_triplane_rays_tiled(
+    out, overflow = _apply_triplane_rays_tiled(
         params, cfg, planes_pos, box, None, vp_ray, r, s, member=member,
         noise_key=None, rot_mats=rot_mats, tile_cfg=tile_cfg,
         tile_tables=tile_tables, origins=origins, directions=directions,
         z_vals=z_vals)
+    return out, {"overflow_frac": overflow}
 
 
 def make_density_fn(params, cfg: TriplaneConfig, planes_pos, box, *,

@@ -41,7 +41,13 @@ OUT_LANES = 8    # padded output block: rgb lanes 0:3, alpha lane 3
 
 
 def supports(cfg) -> bool:
-    return (cfg.proj_combination in ("avg", "sum")
+    # compute_dtype must be EXPLICITLY bfloat16: the kernel's matmuls
+    # run bf16 with f32 accumulation, so engaging it for an f32 config
+    # would silently measure a different numerics path than training
+    # (the production eval substitutes bf16 at one documented site:
+    # experiment.Experiment._point_fns_for_eval)
+    return (cfg.compute_dtype == "bfloat16"
+            and cfg.proj_combination in ("avg", "sum")
             and cfg.viewdir_combination == "concat_pos"
             and cfg.rgb_dec_input == "projections"
             and cfg.use_viewdirs

@@ -44,6 +44,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -72,6 +73,14 @@ class TileSamplerConfig:
     th: int = 24           # region rows (y capacity: th - YALIGN + 1)
     tw: int = 18           # region cells per row (x capacity: tw - 1)
     group: int = 8         # regions per kernel grid step
+    # shrink (th, tw) per pass to the measured chunk extents of
+    # (S, plane_res) — the gather matmul's contraction dim is T = th*tw,
+    # so smaller regions cut the kernel's dominant cost (62% of kernel
+    # time at T=432, tools/exp_mega_rate.py round 3). Regions only ever
+    # shrink below (th, tw), so tables built at the config dims stay
+    # valid; overflow_frac + the eval XLA fallback are the safety net
+    # on geometry outside the measured envelope.
+    adaptive_region: bool = True
 
     def __post_init__(self):
         assert self.th % 8 == 0, "region rows must align to sublanes"
@@ -99,6 +108,34 @@ def choose_slab(num_samples: int, plane_res: int,
     return max(slab, 1)
 
 
+def choose_region_dims(num_samples: int, plane_res: int, slab: int,
+                       tile_rays: int, config: TileSamplerConfig):
+    """Per-pass region dims (th, tw), never exceeding the config's.
+
+    Measured chunk extents on flagship-class geometry (16x16-ray tiles,
+    slab 2; extent study in PERF.md round 3, pinned by
+    tests/test_tile_sampler.py):
+      fine   (S=32 @ 800^2): <= 17 aligned rows, <= 12 x-cells (+tap)
+      coarse (S=16 @ 200^2): <= 11 aligned rows, <=  7 x-cells (+tap)
+    The x extent is set mostly by the TILE's on-plane footprint (which
+    scales with plane_res), the y/aligned-row extent by footprint plus
+    the slab's depth motion (which shrinks as sampling densifies, i.e.
+    as k = S*256/res grows). Margins of ~2 cells are kept; geometry
+    outside this envelope clamps, reports overflow_frac, and falls
+    back to the exact XLA path at eval."""
+    if (not config.adaptive_region or tile_rays * slab > 512
+            or slab > 2):
+        return config.th, config.tw
+    k = num_samples * 256 / max(plane_res, 1)
+    if plane_res <= 400 and k >= 16:
+        th, tw = 16, 10     # LR-plane coarse passes (7-11 measured)
+    elif k >= 8 or plane_res > 400:
+        th, tw = 24, 14     # HR-plane fine passes (12-17 measured)
+    else:                   # sparse sampling: footprints grow, keep full
+        th, tw = config.th, config.tw
+    return min(th, config.th), min(tw, config.tw)
+
+
 def build_pair_tables(planes, config: TileSamplerConfig):
     """[P, C, H, W] planes -> stacked vertical-pair table.
 
@@ -112,7 +149,11 @@ def build_pair_tables(planes, config: TileSamplerConfig):
     """
     P, C, H, W = planes.shape
     assert C <= HALF, f"tile sampler supports <= {HALF} channels, got {C}"
-    Hp = _round_up(H, YALIGN)
+    # Hp >= th keeps oy's clip upper bound (Hp - th) non-negative: a
+    # plane shorter than one region would otherwise produce a negative
+    # region-row origin and an out-of-bounds HBM DMA (edge-padding the
+    # extra rows is cheap and exact — y coords are clipped to H-1)
+    Hp = max(_round_up(H, YALIGN), config.th)
     Wp = W + config.tw
     top = jnp.pad(planes, ((0, 0), (0, HALF - C), (0, 0), (0, 0)))
     bot = jnp.concatenate([top[:, :, 1:, :], top[:, :, -1:, :]], axis=2)
@@ -354,13 +395,83 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
     return out, overflow
 
 
+def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
+                       Hp, config: TileSamplerConfig,
+                       align_corners: bool = True):
+    """Chunk descriptors straight from rays, COMPONENT-WISE.
+
+    origins/directions [R, 3] (tile-coherent ray order), z_vals [R, S]
+    -> (org [NC, 3, 2] int32 global table origins,
+        fidx [3, NC, B] f32 local flat coords,
+        ty [3, NC, B] f32 vertical lerp weights,
+        overflow_frac).
+
+    Every intermediate is an [NC, B]-shaped array (minor dim = chunk
+    points): the grids-based pre-pass materializes [NC, B, 3] points
+    and [P, N, 2] grids whose 12/8-byte minor dims cost 17.6 ms per
+    4096-chunk call — 38% of the fused megakernel program — while this
+    component-wise form fuses into ~1 ms of elementwise work
+    (tools/exp_mega_prepass.py, PERF.md round 3). Same math as
+    normalize_coords + project_to_planes + the grids pre-pass.
+    """
+    H, W = plane_hw
+    tr, sl = config.tile_rays, config.slab
+    R, S = z_vals.shape
+    nt, ns = R // tr, S // sl
+    NC, B = nt * ns, tr * sl
+    th, tw = config.th, config.tw
+    box3 = jnp.asarray(box3, dtype=z_vals.dtype)
+    rot = np.asarray(rot)                    # host constants: unrolled
+
+    z_c = jnp.moveaxis(z_vals.reshape(nt, tr, ns, sl), 1, 2
+                       ).reshape(NC, B)
+    # normalized point components n_c, one [NC, B] array each
+    n = []
+    for c in range(3):
+        o_c = jnp.broadcast_to(origins[:, c].reshape(nt, 1, tr, 1),
+                               (nt, ns, tr, sl)).reshape(NC, B)
+        d_c = jnp.broadcast_to(directions[:, c].reshape(nt, 1, tr, 1),
+                               (nt, ns, tr, sl)).reshape(NC, B)
+        p_c = o_c + d_c * z_c
+        n.append(2.0 * (p_c - box3[0, c]) / (box3[1, c] - box3[0, c])
+                 - 1.0)
+
+    oys, oxs, fidxs, tys, ovfs = [], [], [], [], []
+    for p in range(rot.shape[0]):
+        # projection onto columns 1:3 of rot[p] (triplane.py
+        # project_to_planes), unrolled to scalar FMAs
+        gx = n[0] * rot[p, 0, 1] + n[1] * rot[p, 1, 1] + n[2] * rot[p, 2, 1]
+        gy = n[0] * rot[p, 0, 2] + n[1] * rot[p, 1, 2] + n[2] * rot[p, 2, 2]
+        xp = jnp.clip(_unnormalize(gx, W, align_corners), 0.0, W - 1.0)
+        yp = jnp.clip(_unnormalize(gy, H, align_corners), 0.0, H - 1.0)
+        y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
+        x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
+        oy = jnp.clip((jnp.min(y0, axis=-1) // YALIGN) * YALIGN,
+                      0, Hp - th)                        # [NC]
+        ox = jnp.clip(jnp.min(x0, axis=-1), 0, W - 1)
+        ovfs.append((jnp.max(y0, axis=-1) - oy > th - 1)
+                    | (jnp.max(x0, axis=-1) + 1 - ox > tw - 1))
+        yl = jnp.clip(y0 - oy[:, None], 0, th - 1).astype(jnp.float32)
+        xl = jnp.clip(xp - ox[:, None].astype(xp.dtype), 0.0,
+                      tw - 1.0 - 1e-3)
+        fidxs.append(yl * tw + xl)
+        tys.append(yp - y0.astype(yp.dtype))
+        oys.append(oy + p * Hp)
+        oxs.append(ox)
+
+    org = jnp.stack([jnp.stack(oys, axis=-1),
+                     jnp.stack(oxs, axis=-1)], axis=-1)  # [NC, 3, 2]
+    overflow_frac = jnp.mean(jnp.stack(ovfs).astype(jnp.float32))
+    return (org, jnp.stack(fidxs), jnp.stack(tys), overflow_frac)
+
+
 # ---------------------------------------------------------------------------
 # Megakernel: region gathers + full decoder in ONE pallas call
 # ---------------------------------------------------------------------------
 
-def _mega_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
-                 bref, out_ref, region, sem, *, th, tw, group, B, cfg,
-                 plan_info):
+def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
+                 table_ref, wref, bref, out_ref, region, sem, *, th, tw,
+                 group, B, cfg, plan_info):
     from nvsr_tpu.ops.pallas.fused_decoder import (OUT_LANES, decode_body,
                                                    lerp_pair)
     T = th * tw
@@ -390,16 +501,15 @@ def _mega_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
     slot = i % 2
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
     for g in range(group):
-        ft = ft_ref[pl.ds(g * B, B), :]                  # [B, 8]
         feats = []
-        for p in range(3):
-            fidx = ft[:, p:p + 1]
+        for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
+            fidx = fr[pl.ds(g * B, B), :]                # [B, 1]
             w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
                             ).astype(jnp.bfloat16)
             dma(slot, org_cur, g, p).wait()
             rows = jnp.dot(w, region[slot, g, p].reshape(T, LANES),
                            preferred_element_type=jnp.float32)
-            feats.append(lerp_pair(rows, ft[:, 4 + p:5 + p]))
+            feats.append(lerp_pair(rows, tr_[pl.ds(g * B, B), :]))
         fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
         head = decode_body(feats, fv, wref, bref, cfg, plan_info)
         out_ref[pl.ds(g * B, B), :] = head[:, :OUT_LANES]
@@ -408,10 +518,19 @@ def _mega_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info",
                                              "interpret"))
-def _mega_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
-               cfg, plan_info, interpret=False):
+def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
+               group, B, cfg, plan_info, interpret=False):
+    """fidx/ty arrive PLANE-MAJOR as [3*NC*B, 1] — three index_map
+    views per array, so no interleaved per-point packing (and no
+    [.., 3]-minor transposes) ever materializes."""
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
     nsteps = org.shape[0] - 1
+
+    def pm_spec(p):
+        return pl.BlockSpec((group * B, 1),
+                            lambda i, _p=p: (_p * nsteps + i, 0),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         functools.partial(_mega_kernel, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info),
@@ -425,8 +544,8 @@ def _mega_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, group, 3, 2), lambda i: (i + 1, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((group * B, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pm_spec(0), pm_spec(1), pm_spec(2),
+            pm_spec(0), pm_spec(1), pm_spec(2),
             pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -440,7 +559,7 @@ def _mega_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
             pltpu.SemaphoreType.DMA((2, group, 3)),
         ],
         interpret=interpret,
-    )(org, org, ft, view, table, wpack, bpack)
+    )(org, org, fidx, fidx, fidx, ty, ty, ty, view, table, wpack, bpack)
 
 
 def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
@@ -495,27 +614,65 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
     org = jnp.stack([oy + plane_row0, ox], axis=-1)      # [3, NC, 2]
     org = jnp.moveaxis(org, 0, 1)                        # [NC, 3, 2]
-    # per-point (f0,f1,f2,pad, t0,t1,t2,pad) lanes
-    ft = jnp.concatenate([
-        jnp.moveaxis(fidx, 0, -1),                       # [NC, B, 3]
-        jnp.zeros_like(fidx[:1]).reshape(NC, B, 1),
-        jnp.moveaxis(ty, 0, -1),
-        jnp.zeros_like(ty[:1]).reshape(NC, B, 1)], axis=-1)  # [NC, B, 8]
-    ft = ft.reshape(NC * B, 8)
+    return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
+                        overflow_frac, th=th, tw=tw, group=group, B=B,
+                        cfg=model_cfg, plan_info=plan_info,
+                        interpret=interpret)
 
+
+def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
+                 overflow_frac, *, th, tw, group, B, cfg, plan_info,
+                 interpret):
+    """Pad to the group multiple and launch the megakernel. fidx/ty are
+    [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
+    per-point interleave)."""
+    NC = org.shape[0]
     pad = _round_up(NC, group) - NC
     if pad:
         org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
-        ft = jnp.pad(ft, ((0, pad * B), (0, 0)))
+        fidx = jnp.pad(fidx, ((0, 0), (0, pad), (0, 0)))
+        ty = jnp.pad(ty, ((0, 0), (0, pad), (0, 0)))
         view_c = jnp.pad(view_c, ((0, pad * B), (0, 0)))
     nsteps = (NC + pad) // group
     org = jnp.concatenate(
         [org.reshape(nsteps, group, 3, 2),
          jnp.zeros((1, group, 3, 2), org.dtype)], axis=0)
 
-    out = _mega_call(table, org, ft, view_c, wpack, bpack, th=th, tw=tw,
-                     group=group, B=B, cfg=model_cfg, plan_info=plan_info,
+    out = _mega_call(table, org, fidx.reshape(-1, 1), ty.reshape(-1, 1),
+                     view_c, wpack, bpack, th=th, tw=tw, group=group,
+                     B=B, cfg=cfg, plan_info=plan_info,
                      interpret=interpret)
     if pad:
         out = out[:NC * B]
     return out, overflow_frac
+
+
+def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
+                      bpack, plan_info, model_cfg,
+                      config: TileSamplerConfig, box3, rot,
+                      align_corners: bool = True, interpret: bool = False,
+                      tables=None):
+    """Gather + decode straight from rays: the fastest production entry.
+
+    origins/directions [R, 3] tile-coherent; z_vals [R, S]; view_c
+    [R*S, fused_decoder.HALF] chunk-ordered view features. The chunk
+    pre-pass runs component-wise (prepare_ray_chunks) and the kernel
+    reads plane-major fidx/ty views — between them this removes the
+    17.6 ms/4096-chunk pre-pass wall of the grids-based entry
+    (PERF.md round 3). Returns ([R*S, OUT_LANES] f32 chunk-major,
+    overflow_frac)."""
+    P, C, H, W = planes.shape
+    assert P == 3
+    th, tw = config.th, config.tw
+    group = min(config.group,
+                max(1, (6 << 20) // (2 * 3 * th * tw * LANES * 2)))
+    table, Hp, Wp = tables if tables is not None \
+        else build_pair_tables(planes, config)
+    org, fidx, ty, overflow_frac = prepare_ray_chunks(
+        origins, directions, z_vals, box3, rot, (H, W), Hp, config,
+        align_corners=align_corners)
+    B = config.chunk_points
+    return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
+                        overflow_frac, th=th, tw=tw, group=group, B=B,
+                        cfg=model_cfg, plan_info=plan_info,
+                        interpret=interpret)

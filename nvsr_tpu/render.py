@@ -143,9 +143,14 @@ def tighten_bundle(rays: RayBundle, aabb) -> RayBundle:
 class RenderResult(NamedTuple):
     coarse: RenderOutputs
     fine: Optional[RenderOutputs]
+    # diagnostics from aux-reporting point fns (point_fn.has_aux), e.g.
+    # the tiled sampler's overflow_frac — reduced with max over
+    # passes/blocks so any nonzero value survives to the caller
+    aux: Optional[dict] = None
 
 
-# point_fn(pts [R,S,3]|None, rays_block: RayBundle, z_vals) -> [R,S,4]
+# point_fn(pts [R,S,3]|None, rays_block: RayBundle, z_vals) -> [R,S,4];
+# point fns with .has_aux return ([R,S,4], {name: scalar}) instead
 PointFn = Callable[[Optional[jnp.ndarray], "RayBundle", jnp.ndarray],
                    jnp.ndarray]
 
@@ -163,6 +168,7 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
     s_coarse = rcfg.num_coarse + int(rcfg.mip)
     z_vals = stratified_z_vals(k_strat, rays.near, rays.far, s_coarse,
                                lindisp=rcfg.lindisp, perturb=rcfg.perturb)
+    aux: dict = {}
 
     def run_pass(point_fn, z):
         if rcfg.mip or getattr(point_fn, "consumes_rays", False):
@@ -170,10 +176,16 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
             # (rays, z): mip casts conical frustums; the tiled triplane
             # path generates points chunk-major without materializing
             # the ray-major [R,S,3] pts
-            return point_fn(None, rays, z)
-        pts = (rays.origins[..., None, :]
-               + rays.directions[..., None, :] * z[..., :, None])
-        return point_fn(pts, rays, z)
+            out = point_fn(None, rays, z)
+        else:
+            pts = (rays.origins[..., None, :]
+                   + rays.directions[..., None, :] * z[..., :, None])
+            out = point_fn(pts, rays, z)
+        if getattr(point_fn, "has_aux", False):
+            out, pass_aux = out
+            for k, v in pass_aux.items():
+                aux[k] = jnp.maximum(aux[k], v) if k in aux else v
+        return out
 
     rf_c = run_pass(point_fn_coarse, z_vals)
     if rcfg.stop_coarse_grad:
@@ -198,7 +210,7 @@ def render_rays(point_fn_coarse: PointFn, point_fn_fine: Optional[PointFn],
             radiance_field_noise_std=rcfg.radiance_field_noise_std,
             white_background=rcfg.white_background, mip=rcfg.mip,
             return_z=rcfg.keep_z)
-    return RenderResult(out_c, out_f)
+    return RenderResult(out_c, out_f, aux)
 
 
 def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
@@ -245,7 +257,8 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
         return None if t is None else jax.tree.map(
             lambda a: a.reshape(n_blocks * block, *a.shape[2:])[:n], t)
 
-    return RenderResult(unblock(result.coarse), unblock(result.fine))
+    aux = jax.tree.map(jnp.max, result.aux) if result.aux else None
+    return RenderResult(unblock(result.coarse), unblock(result.fine), aux)
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +279,11 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
     per point-fn, so the per-block sampling inside lax.map reuses it."""
 
     if tile_cfg is not None:
+        # the tiled sampler is an eval-only path: a silently dropped
+        # training noise key would change semantics with no signal
+        assert noise_key is None and plane_resolution is None, (
+            "tile_cfg is an eval-only fast path; it does not support "
+            "point_coords_noise (noise_key/plane_resolution)")
         from nvsr_tpu.models.triplane import apply_triplane_rays_from_z
         from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
         tile_tables = build_pair_tables(planes_pos, tile_cfg)
@@ -278,6 +296,11 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                 tile_tables=tile_tables)
 
         point_fn.consumes_rays = True
+        # returns ([R,S,4], {"overflow_frac": scalar}) — the fraction of
+        # chunks whose footprint exceeded the static region capacity and
+        # were nearest-cell clamped; render_rays max-reduces it into
+        # RenderResult.aux so callers can detect and fall back
+        point_fn.has_aux = True
         return point_fn
 
     def point_fn(pts, rays, z_vals):
@@ -370,12 +393,23 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
     tightened to its slab intersection (must match how the scene was
     trained; ops/occupancy.py).
 
-    tile: optional image-tile side — rays are rendered in tile-major
-    order (the coherence contract of the Pallas tile sampler; the point
-    fns must have been built with a matching tile_cfg) and the output
-    maps are restored to image order."""
+    tile: optional image-tile side (or (th, tw) pair) — rays are
+    rendered in tile-major order (the coherence contract of the Pallas
+    tile sampler; the point fns must have been built with a matching
+    tile_cfg) and the output maps are restored to image order. Images
+    whose H or W is not a tile multiple are edge-padded to one and
+    cropped on the way out (e.g. every LLFF resolution), so the fast
+    path serves arbitrary sizes."""
     h, w = ray_origins.shape[:2]
+    hp, wp = h, w
     if tile:
+        th_, tw_ = _tile_hw(tile)
+        ph, pw = (-h) % th_, (-w) % tw_
+        if ph or pw:
+            pad = ((0, ph), (0, pw)) + ((0, 0),) * (ray_origins.ndim - 2)
+            ray_origins = jnp.pad(ray_origins, pad, mode="edge")
+            ray_directions = jnp.pad(ray_directions, pad, mode="edge")
+            hp, wp = h + ph, w + pw
         ray_origins = tile_ray_maps(ray_origins, tile)
         ray_directions = tile_ray_maps(ray_directions, tile)
     rays = make_ray_bundle(ray_origins, ray_directions, near, far,
@@ -391,7 +425,8 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
             return None
         if tile:
             return jax.tree.map(
-                lambda a: untile_ray_maps(a, h, w, tile), out)
+                lambda a: untile_ray_maps(a, hp, wp, tile)[:h, :w], out)
         return jax.tree.map(lambda a: a.reshape(h, w, *a.shape[1:]), out)
 
-    return RenderResult(reshape(result.coarse), reshape(result.fine))
+    return RenderResult(reshape(result.coarse), reshape(result.fine),
+                        result.aux)

@@ -189,8 +189,13 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             # as mean +- k*sigma per axis (experiment.py), which stray
             # above-eps outliers cannot blow up the way extrema can.
             wm = jnp.where(w > flags.surf_weight_eps, w, 0.0)
-            wm = wm * (jnp.arange(w.shape[-1]) <
-                       w.shape[-1] - 1)[None, :]
+            if not rcfg.mip:
+                # the 1e10 background interval exists only in the
+                # non-mip path (rendering.py appends it there; mip z
+                # edges are all real intervals) — masking it in mip
+                # mode would drop a genuine surface sample
+                wm = wm * (jnp.arange(w.shape[-1]) <
+                           w.shape[-1] - 1)[None, :]
             wm = wm[..., None]
             aux["surf_w"] = jnp.sum(wm) * jnp.ones((3,))
             aux["surf_wx"] = jnp.sum(wm * pts, axis=(0, 1))

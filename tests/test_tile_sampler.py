@@ -264,6 +264,78 @@ def test_adaptive_slab_no_overflow_on_flagship_geometry():
     assert overflow_frac(32, 800, 4) > 0.3
 
 
+def _flagship_overflow(tile, S, slab, res, th, tw):
+    """Measured chunk overflow fraction on flagship-class geometry for
+    a given (tile, slab, plane_res) and region dims (th, tw)."""
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import make_ray_bundle, tighten_bundle, \
+        tile_ray_maps
+    from nvsr_tpu.models.triplane import make_rot_mats, project_to_planes
+    from nvsr_tpu.ops.pallas.tile_sampler import YALIGN
+
+    H = W = 64
+    eye = np.array([3.8, 0.5, 0.7], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1] = right, np.cross(right, fwd)
+    c2w[:3, 2], c2w[:3, 3] = -fwd, eye
+    ro0, rd0 = get_ray_bundle(H, W, 0.5 * 800 / np.tan(0.3),
+                              jnp.asarray(c2w))
+    box = np.stack([[-4, -4, -4], [4, 4, 4]]).astype(np.float32)
+    rot = make_rot_mats(3)
+    tr = tile[0] * tile[1]
+    ro = np.asarray(tile_ray_maps(ro0, tile))
+    rd = np.asarray(tile_ray_maps(rd0, tile))
+    rays = make_ray_bundle(jnp.asarray(ro), jnp.asarray(rd), 2.0, 6.0,
+                           use_viewdirs=True)
+    rays = tighten_bundle(rays, jnp.asarray(
+        [[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]], jnp.float32))
+    near, far = np.asarray(rays.near), np.asarray(rays.far)
+    R = H * W
+    t = np.linspace(0, 1, S)[None]
+    z = near + (far - near) * t
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    xyz = 2 * (pts.reshape(-1, 3) - box[0]) / (box[1] - box[0]) - 1
+    g = np.asarray(project_to_planes(jnp.asarray(xyz.astype(np.float32)),
+                                     rot))
+    px = np.clip((g[..., 0] + 1) * 0.5 * (res - 1), 0, res - 1)
+    py = np.clip((g[..., 1] + 1) * 0.5 * (res - 1), 0, res - 1)
+
+    def ch(v):
+        v = v.reshape(3, R // tr, tr, S // slab, slab)
+        return np.moveaxis(v, 3, 2).reshape(3, -1, tr * slab)
+
+    x0, y0 = np.floor(ch(px)), np.floor(ch(py))
+    oy = (y0.min(-1) // YALIGN) * YALIGN
+    return float(((y0.max(-1) - oy > th - 1)
+                  | (x0.max(-1) + 1 - x0.min(-1) > tw - 1)).mean())
+
+
+def test_adaptive_region_dims_no_overflow():
+    """choose_region_dims shrinks (th, tw) per pass — the gather
+    matmul's contraction dim — and must keep zero overflow on every
+    production (S, plane_res) combination at the default 16x16 tile
+    (flagship 16+16+occ, the 32+32 and 64+64 matrix configs)."""
+    from nvsr_tpu.ops.pallas.tile_sampler import (TileSamplerConfig,
+                                                  choose_region_dims,
+                                                  choose_slab)
+    cfgT = TileSamplerConfig(tile_rays=256)
+    for S, res in ((32, 800), (16, 200),     # 16+16: fine, coarse
+                   (64, 800), (32, 200),     # 32+32
+                   (128, 800), (64, 200)):   # 64+64
+        slab = choose_slab(S, res, cfgT)
+        while cfgT.tile_rays * slab > 512 and slab > 1 \
+                and S % (slab // 2) == 0:
+            slab //= 2
+        th, tw = choose_region_dims(S, res, slab, cfgT.tile_rays, cfgT)
+        ovf = _flagship_overflow((16, 16), S, slab, res, th, tw)
+        assert ovf == 0.0, (S, res, slab, th, tw, ovf)
+    # the shrink actually engages on the flagship passes
+    assert choose_region_dims(16, 200, 2, 256, cfgT) == (16, 10)
+    assert choose_region_dims(32, 800, 2, 256, cfgT) == (24, 14)
+
+
 def test_megakernel_full_forward_matches(rng):
     """apply_triplane_rays with tile_cfg + flagship decoder dims routes
     through the gather+decode megakernel (tiled_render_chunked) and
@@ -307,6 +379,57 @@ def test_megakernel_full_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(out_mega), np.asarray(out_ref),
                                atol=6e-2, rtol=0)
     assert np.abs(np.asarray(out_mega) - np.asarray(out_ref)).mean() < 6e-3
+
+
+def test_ray_entry_megakernel_matches(rng):
+    """apply_triplane_rays_from_z (component-wise pre-pass +
+    plane-major megakernel inputs, the production eval entry) matches
+    the XLA gather path and reports zero overflow on coherent rays."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    assert fused_decoder.supports(cfg)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16,
+                                 group=2, adaptive_region=False)
+
+    R, S = 16, 8
+    origin = np.array([0.0, 0.0, 1.8], np.float32)
+    dirs = np.stack(np.meshgrid(np.linspace(-.05, .05, 4),
+                                np.linspace(-.05, .05, 4)),
+                    -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.broadcast_to(np.linspace(0.8, 3.2, S,
+                                    dtype=np.float32), (R, S))
+    origins = jnp.asarray(np.broadcast_to(origin, (R, 3)))
+    directions = jnp.asarray(d)
+    viewdirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    pts = jnp.asarray(origin + d[:, None, :] * z[..., None])
+
+    out_ref = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                  pts, viewdirs)
+    out_ray, aux = apply_triplane_rays_from_z(
+        params, cfg, planes, plane_view, box, origins, directions,
+        viewdirs, jnp.asarray(z), tile_cfg=tile_cfg)
+    assert float(aux["overflow_frac"]) == 0.0
+    np.testing.assert_allclose(np.asarray(out_ray), np.asarray(out_ref),
+                               atol=6e-2, rtol=0)
+    assert np.abs(np.asarray(out_ray) - np.asarray(out_ref)).mean() < 6e-3
 
 
 def test_rect_tiles_no_overflow_on_flagship_geometry():

@@ -1,0 +1,263 @@
+"""Attribute the megakernel's per-row cost at fine-pass shapes.
+
+The round-3 question (VERDICT r2 #1): the fine pass runs ~139M rows/s
+vs the coarse pass's ~206M with IDENTICAL chunk structure (B=512,
+slab 2, group 9) — the only differences are the table size (580 MB
+HR 800^2 vs 33 MB LR 200^2) and twice the chunk count. This tool times
+`tiled_render_chunked`-shaped kernels standalone with pieces removed:
+
+  full          the shipped megakernel (gather + decode)
+  nodecode      gather matmuls only (decode skipped)
+  constw        DMA + matmul with a CONSTANT weight matrix
+                (hat-build VPU cost removed)
+  nodma         compute only (regions never fetched; DMA cost removed)
+  small/large   table resolution 200^2 vs 800^2 (DMA locality)
+  rand/walk     chunk origins random vs scanline-adjacent
+
+Workload is sized so one call lasts >> the ~5 ms tunnel floor
+(PERF.md round 2 measurement caveat).
+
+Usage: python tools/exp_mega_rate.py [--quick]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nvsr_tpu.models.triplane import TriplaneConfig, init_decoder_params
+from nvsr_tpu.ops.pallas import fused_decoder
+from nvsr_tpu.ops.pallas.tile_sampler import (LANES, YALIGN,
+                                              TileSamplerConfig,
+                                              build_pair_tables)
+
+_probe = jax.jit(lambda x: jnp.sum(jax.tree.leaves(x)[0]
+                                   .astype(jnp.float32)))
+
+
+def sync(x):
+    return float(_probe(x))
+
+
+def timeit(fn, reps=6):
+    sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def variant_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
+                   bref, out_ref, region, sem, *, th, tw, group, B, cfg,
+                   plan_info, mode):
+    from nvsr_tpu.ops.pallas.fused_decoder import (OUT_LANES, decode_body,
+                                                   lerp_pair)
+    T = th * tw
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(slot, org, g, p):
+        oy = pl.multiple_of(org[0, g, p, 0], YALIGN)
+        ox = pl.multiple_of(org[0, g, p, 1] * LANES, LANES)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
+            region.at[slot, g, p],
+            sem.at[slot, g, p])
+
+    share = mode == "dmashare"
+
+    def dma_g(g):
+        return (g // 2) * 2 if share else g
+
+    if mode != "nodma":
+        @pl.when(i == 0)
+        def _():
+            for g in range(group):
+                if share and g % 2:
+                    continue
+                for p in range(3):
+                    dma(0, org_cur, g, p).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for g in range(group):
+                if share and g % 2:
+                    continue
+                for p in range(3):
+                    dma((i + 1) % 2, org_nxt, g, p).start()
+
+    slot = i % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
+    if mode == "mmonly":
+        # nothing but the 3 gather matmuls per chunk: constant weights,
+        # no ft/view reads, no lerp, no decode — pure MXU + DMA stream
+        wconst = (cols < 2).astype(jnp.bfloat16)
+        for g in range(group):
+            acc = 0.0
+            for p in range(3):
+                dma(slot, org_cur, g, p).wait()
+                acc = acc + jnp.dot(
+                    wconst, region[slot, g, p].reshape(T, LANES),
+                    preferred_element_type=jnp.float32)
+            out_ref[pl.ds(g * B, B), :] = acc[:, :OUT_LANES]
+        return
+    if mode == "nomm":
+        # everything EXCEPT the gather matmuls: hat build, DMA, ft/view
+        # reads, lerp on a fixed region slice, full decode
+        for g in range(group):
+            ft = ft_ref[pl.ds(g * B, B), :]
+            feats = []
+            for p in range(3):
+                fidx = ft[:, p:p + 1]
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
+                                ).astype(jnp.bfloat16)
+                dma(slot, org_cur, g, p).wait()
+                rows = (region[slot, g, p].reshape(T, LANES)[:1]
+                        + w[:, :1])                      # [B, 128] cheap
+                feats.append(lerp_pair(rows, ft[:, 4 + p:5 + p]))
+            fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
+            head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+            out_ref[pl.ds(g * B, B), :] = head[:, :OUT_LANES]
+        return
+    for g in range(group):
+        ft = ft_ref[pl.ds(g * B, B), :]
+        feats = []
+        for p in range(3):
+            fidx = ft[:, p:p + 1]
+            if mode == "constw":
+                w = (cols < 2).astype(jnp.bfloat16)
+            else:
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
+                                ).astype(jnp.bfloat16)
+            if mode != "nodma" and not (share and g % 2):
+                dma(slot, org_cur, dma_g(g), p).wait()
+            rows = jnp.dot(w, region[slot, dma_g(g), p].reshape(T, LANES),
+                           preferred_element_type=jnp.float32)
+            feats.append(lerp_pair(rows, ft[:, 4 + p:5 + p]))
+        if mode == "nodecode":
+            out_ref[pl.ds(g * B, B), :] = (feats[0] + feats[1] + feats[2]
+                                           )[:, :fused_decoder.OUT_LANES]
+        else:
+            fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
+            head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+            out_ref[pl.ds(g * B, B), :] = head[:, :OUT_LANES]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
+                                             "cfg", "plan_info", "mode"))
+def variant_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
+                 cfg, plan_info, mode):
+    from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
+    nsteps = org.shape[0] - 1
+    return pl.pallas_call(
+        functools.partial(variant_kernel, th=th, tw=tw, group=group, B=B,
+                          cfg=cfg, plan_info=plan_info, mode=mode),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
+                                       jnp.float32),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, group, 3, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, 3, 2), lambda i: (i + 1, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group * B, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, 3, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group, 3)),
+        ],
+    )(org, org, ft, view, table, wpack, bpack)
+
+
+def make_inputs(key, res, NC, B, tc, origin_mode):
+    """Synthetic chunk descriptors: origins either scanline-adjacent
+    (consecutive chunks step 0-2 cells, like slabs of one tile) or
+    uniform-random over the plane."""
+    C = 48
+    planes = 0.03 * jax.random.normal(key, (3, C, res, res))
+    table, Hp, Wp = build_pair_tables(planes, tc)
+    th, tw = tc.th, tc.tw
+    rng = np.random.default_rng(0)
+    if origin_mode == "walk":
+        # scanline: successive chunks move ~1 cell in x, wrap in y
+        step = rng.integers(0, 3, size=(NC, 3, 2)).cumsum(axis=0)
+        oy = (step[..., 0] % max(Hp - th, 1)) // YALIGN * YALIGN
+        ox = step[..., 1] % max(res - 1, 1)
+    else:
+        oy = rng.integers(0, max((Hp - th) // YALIGN, 1),
+                          size=(NC, 3)) * YALIGN
+        ox = rng.integers(0, max(res - 1, 1), size=(NC, 3))
+    plane_row0 = np.arange(3) * Hp
+    org = np.stack([oy + plane_row0, ox], axis=-1)        # [NC, 3, 2]
+    fidx = rng.uniform(0, th * tw - 1, size=(NC, B, 3)).astype(np.float32)
+    ty = rng.uniform(0, 1, size=(NC, B, 3)).astype(np.float32)
+    ft = np.concatenate([fidx, np.zeros((NC, B, 1), np.float32),
+                         ty, np.zeros((NC, B, 1), np.float32)],
+                        axis=-1).reshape(NC * B, 8)
+    view = rng.standard_normal((NC * B, fused_decoder.HALF)) * 0.3
+    return (table, jnp.asarray(org), jnp.asarray(ft),
+            jnp.asarray(view.astype(np.float32)))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3, compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
+        params, cfg, 0)
+    B = int(os.environ.get("B", 512))
+    NC = 1024 if quick else 4096      # rows/call = NC*B*3 = 6.3M full
+    NC = NC * 512 // B                # constant points/call across B
+    group = int(os.environ.get("GROUP", 9))
+    th = int(os.environ.get("TH", 24))
+    tw = int(os.environ.get("TW", 18))
+    tc = TileSamplerConfig(tile_rays=B // 2, slab=2, th=th, tw=tw)
+    key = jax.random.PRNGKey(1)
+    res = int(os.environ.get("RES", 800))
+    origin_mode = os.environ.get("ORG", "walk")
+    modes = os.environ.get("MODES", "full,nodecode,constw,nodma"
+                           ).split(",")
+
+    print(f"B={B} NC={NC} group={group} th={th} tw={tw} res={res} "
+          f"org={origin_mode} rows/call={NC * B * 3 / 1e6:.1f}M",
+          flush=True)
+    table, org, ft, view = make_inputs(key, res, NC, B, tc, origin_mode)
+    nsteps = NC // group
+    orgs = jnp.concatenate(
+        [org[:nsteps * group].reshape(nsteps, group, 3, 2),
+         jnp.zeros((1, group, 3, 2), org.dtype)], axis=0)
+    ft_c = ft[:nsteps * group * B]
+    view_c = view[:nsteps * group * B]
+    rows = nsteps * group * B * 3
+    for mode in modes:
+        t = timeit(lambda m=mode: variant_call(
+            table, orgs, ft_c, view_c, wpack, bpack, th=th,
+            tw=tw, group=group, B=B, cfg=cfg,
+            plan_info=plan_info, mode=m))
+        print(f"{mode:9s} {t * 1e3:7.2f} ms  "
+              f"{rows / t / 1e6:6.0f}M rows/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

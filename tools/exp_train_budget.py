@@ -1,0 +1,103 @@
+"""Attribute the production HR/SR training step's 0.91 s (BENCH_r02).
+
+Times `train_step` at TrainModels dims with pieces swapped out:
+  full        the bench configuration (EDSR 256x32, 64+64 samples)
+  tiny_sr     EDSR 16x1 (isolates the SR-conv cost)
+  few_samples 8+8 samples (isolates the sample-proportional cost:
+              gathers fwd+bwd + decoder fwd+bwd)
+  lr_step     sr_iter=False (the 0.133 s LR step, for reference)
+  no_planes   train_planes=False (isolates the plane-scatter backward:
+              frozen planes never receive the gather transpose)
+
+Usage: python tools/exp_train_budget.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvsr_tpu.models import (PlaneSRConfig, TriplaneConfig,
+                             init_decoder_params, init_plane_sr_params)
+from nvsr_tpu.ops.geometry import get_ray_bundle
+from nvsr_tpu.render import RenderConfig, make_ray_bundle
+from nvsr_tpu.train import StepFlags, train_step
+
+_probe = jax.jit(lambda x: jnp.sum(jax.tree.leaves(x)[0]
+                                   .astype(jnp.float32)))
+
+
+def _camera(eye):
+    eye = np.asarray(eye, dtype=np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]).astype(np.float32)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+    return c2w
+
+
+def main():
+    reps = int(os.environ.get("REPS", 3))
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3,
+                         gather_table_dtype="bfloat16")
+    dc = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    df = init_decoder_params(jax.random.PRNGKey(1), cfg)
+    planes = {"pos": 0.03 * jax.random.normal(jax.random.PRNGKey(3),
+                                              (3, 48, 200, 200)),
+              "view": 0.03 * jax.random.normal(jax.random.PRNGKey(4),
+                                               (48, 32, 32))}
+    box = jnp.asarray(np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                                [4, 4, 4, np.pi, np.pi / 2]]
+                               ).astype(np.float32))
+    ro, rd = get_ray_bundle(64, 64, 80.0,
+                            jnp.asarray(_camera([3.8, 0.5, 0.7])))
+    rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
+    target = jnp.full((4096, 3), 0.5)
+
+    def run(label, *, sr_hidden=256, sr_blocks=32, samples=64,
+            sr_iter=True, train_planes=True):
+        sr_cfg = None
+        sr = None
+        if sr_iter:
+            sr_cfg = PlaneSRConfig(scale_factor=4, hidden_size=sr_hidden,
+                                   n_blocks=sr_blocks,
+                                   compute_dtype="bfloat16")
+            sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
+        rcfg = RenderConfig(num_coarse=samples, num_fine=samples,
+                            perturb=True, radiance_field_noise_std=0.2)
+        flags = StepFlags(sr_iter=sr_iter, train_planes=train_planes)
+        out = train_step(dc, df, sr, planes, box, rays, target,
+                         jax.random.PRNGKey(9), model_cfg=cfg,
+                         sr_cfg=sr_cfg, rcfg=rcfg, flags=flags)
+        assert np.isfinite(float(_probe(out[0]["loss"])))
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = train_step(dc, df, sr, planes, box, rays, target,
+                             jax.random.PRNGKey(10 + i), model_cfg=cfg,
+                             sr_cfg=sr_cfg, rcfg=rcfg, flags=flags)
+        float(_probe(out[0]["loss"]))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{label:14s} {dt:7.3f} s/step", flush=True)
+        return dt
+
+    run("full")
+    run("tiny_sr", sr_hidden=16, sr_blocks=1)
+    run("few_samples", samples=8)
+    run("no_planes", train_planes=False)
+    run("lr_step", sr_iter=False)
+    run("lr_few", sr_iter=False, samples=8)
+    run("lr_no_planes", sr_iter=False, train_planes=False)
+
+
+if __name__ == "__main__":
+    main()

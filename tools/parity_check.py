@@ -173,16 +173,105 @@ nerf:
 """
 
 
+CONFIG_TMPL_SR = """\
+experiment:
+  logdir: {logdir}
+  id: ref_parity_sr
+  randomseed: 0
+  train_iters: {iters}
+  validate_every: 250
+  save_every: 1000000
+  print_every: 50
+dataset:
+  synt:
+    root: datasets
+    near: 2
+    far: 6
+    no_ndc: True
+  llff:
+    root: datasets
+    near: 0
+    far: 1
+    no_ndc: False
+  dir:
+    # the flagship TrainModels structure at mini scale
+    # (/root/reference/config/TrainModels.yml:46-55): an LR+HR train
+    # couple (blob) trains the SR net; a second scene with only LR
+    # training views (blob2) gets its HR views evaluated through
+    # SR'd planes — the scene where SR_psnr_gain is measured
+    train:
+      4,32,16: ['blob', 'blob2']
+      2,64,16: ['blob']
+    val:
+      2,64,16: ['blob2']
+  prob_assigned2scene_groups: False
+  testskip: 1
+  llffhold: 2
+models:
+  coarse:
+    type: TwoDimPlanesModel
+    plane_interp: bilinear
+    dec_density_layers: 2
+    dec_rgb_layers: 2
+    dec_channels: 64
+    rgb_dec_input: projections
+    proj_combination: avg
+    viewdir_proj_combination: concat_pos
+    align_corners: True
+    skip_connect_every: 3
+    num_plane_channels: 16
+  fine:
+    type: TwoDimPlanesModel
+optimizer:
+  type: Adam
+  lr: 5.E-4
+super_resolution:
+  lr: 5.E-5
+  training:
+    loss: fine
+  apply_2_coarse: False
+  model:
+    type: EDSR
+    hidden_size: 32
+    n_blocks: 2
+nerf:
+  use_viewdirs: True
+  train:
+    what: ['LR_planes','decoder','SR']
+    num_random_rays: 512
+    chunksize: 65536
+    store_planes:
+      buffer_size: 1
+      steps_per_buffer: 1000000
+    perturb: True
+    num_coarse: 32
+    num_fine: 32
+    white_background: False
+    im_inconsistency_loss_w: 0
+    im_consistency_iters_freq: 0.25
+    radiance_field_noise_std: 0.2
+    lindisp: False
+  validation:
+    chunksize: 65536
+    perturb: False
+    num_coarse: 32
+    num_fine: 32
+    white_background: False
+    radiance_field_noise_std: 0.
+    lindisp: False
+"""
+
+
 def sh(args, cwd):
     print("+", " ".join(args))
     subprocess.run(args, cwd=cwd, check=True)
 
 
-def ensure_scene(ws, size):
-    scene_dir = os.path.join(ws, "datasets", SCENE)
+def ensure_scene(ws, size, name=SCENE):
+    scene_dir = os.path.join(ws, "datasets", name)
     if not os.path.isfile(os.path.join(scene_dir, "transforms_val.json")):
         sh([sys.executable, os.path.join(TOOLS, "gen_scene.py"),
-            os.path.join(ws, "datasets"), SCENE, str(size), "8", "2", "2"],
+            os.path.join(ws, "datasets"), name, str(size), "8", "2", "2"],
            cwd=ws)
     return scene_dir
 
@@ -192,14 +281,16 @@ def write_cfg(ws, name, logdir, iters, mode="planes"):
     with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
         f.write(f"root: {ws}\n")
     path = os.path.join(ws, "config", name)
-    tmpl = CONFIG_TMPL if mode == "planes" else CONFIG_TMPL_MIP
+    tmpl = {"planes": CONFIG_TMPL, "mip": CONFIG_TMPL_MIP,
+            "sr": CONFIG_TMPL_SR}[mode]
     with open(path, "w") as f:
         f.write(tmpl.format(logdir=logdir, iters=iters))
     return path
 
 
 def exp_id(mode):
-    return "ref_parity" if mode == "planes" else "ref_parity_mip"
+    return {"planes": "ref_parity", "mip": "ref_parity_mip",
+            "sr": "ref_parity_sr"}[mode]
 
 
 def reference_train_and_eval(ws, iters, mode="planes"):
@@ -229,6 +320,23 @@ def reference_train_and_eval(ws, iters, mode="planes"):
     return ref_logdir, results, metrics
 
 
+def parse_metrics_txt(results_dir, key):
+    """Collect every `<group>/<key>: value` line from metrics.txt files
+    under results_dir (both programs' eval mode writes this format —
+    reference train_nerf.py:247-251, ours utils/logging.py:153-163)."""
+    vals = []
+    for root, _, files in os.walk(results_dir):
+        if "metrics.txt" not in files:
+            continue
+        with open(os.path.join(root, "metrics.txt")) as f:
+            for line in f:
+                m = re.match(r"[^:\s]+/" + re.escape(key) +
+                             r": ([-\d.naif]+)", line.strip())
+                if m:
+                    vals.append(float(m.group(1)))
+    return vals
+
+
 def parse_reference_metrics(results_dir):
     """Mean PSNR over all eval images, from the per-image PSNRs the
     reference embeds in its output PNG names (plus the per-image list)."""
@@ -247,6 +355,7 @@ def convert_to_ours(ws, ref_logdir, mode="planes"):
     """Reference torch artifacts -> our checkpoint/planes layout under
     <ws>/logs_ours/<exp_id>."""
     from nvsr_tpu.convert import (convert_nerf_mlp, convert_par_file,
+                                  convert_plane_sr,
                                   convert_triplane_decoder,
                                   load_torch_checkpoint)
     from nvsr_tpu.planes_store import PlaneStore, ScenePlanes
@@ -285,6 +394,15 @@ def convert_to_ours(ws, ref_logdir, mode="planes"):
         state["rot_mats"] = rot
     save_pickle(os.path.join(ours_logdir, "checkpoint.ckpt"), state,
                 suffix="ckpt", best=True)
+    if mode == "sr":
+        # the flagship SR workflow's second artifact: the reference's
+        # trained PlanesSR/EDSR weights (SR_checkpoint.ckpt_best,
+        # reference train_nerf.py:995-999) -> our SR checkpoint layout
+        sr_ckpt = load_torch_checkpoint(
+            os.path.join(ref_logdir, "SR_checkpoint.ckpt_best"))
+        save_pickle(os.path.join(ours_logdir, "SR_checkpoint.ckpt"),
+                    {"SR_model": convert_plane_sr(sr_ckpt["SR_model"])},
+                    suffix="ckpt", best=True)
 
     store = PlaneStore(os.path.join(ours_logdir, "planes"))
     import torch
@@ -330,7 +448,8 @@ def main():
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--size", type=int, default=100)
     ap.add_argument("--tol", type=float, default=0.1)
-    ap.add_argument("--mode", choices=["planes", "mip"], default="planes")
+    ap.add_argument("--mode", choices=["planes", "mip", "sr"],
+                    default="planes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for our eval (numerics "
                          "are platform-independent at these tolerances)")
@@ -342,14 +461,28 @@ def main():
     os.makedirs(ws, exist_ok=True)
 
     ensure_scene(ws, args.size)
+    if args.mode == "sr":
+        # second scene: LR-trained, HR views eval-only (SR-gain scene)
+        ensure_scene(ws, args.size, "blob2")
     ref_logdir, results, metrics = reference_train_and_eval(
         ws, args.iters, args.mode)
-    ref_psnr, ref_per_image = parse_reference_metrics(results)
     convert_to_ours(ws, ref_logdir, args.mode)
-    ours_psnr, ours_per_image = evaluate_ours(ws, args.iters, args.mode)
+    _, ours_per_image = evaluate_ours(ws, args.iters, args.mode)
+    if args.mode == "sr":
+        # in SR mode the 'fine'-dir PNG names carry the skip-SR
+        # reference PSNRs, not the SR render's — compare the programs'
+        # own <group>/psnr metrics.txt lines symmetrically instead
+        ref_per_image = parse_metrics_txt(results, "psnr")
+        ref_psnr = float(np.mean(ref_per_image))
+        ours_per_image = parse_metrics_txt(
+            os.path.join(ws, "results_ours"), "psnr")
+        ours_psnr = float(np.mean(ours_per_image))
+    else:
+        ref_psnr, ref_per_image = parse_reference_metrics(results)
+        ours_psnr = float(np.mean(ours_per_image))
 
     delta = ours_psnr - ref_psnr
-    print(json.dumps({
+    record = {
         "mode": args.mode,
         "reference_psnr": round(ref_psnr, 4),
         "ours_psnr": round(ours_psnr, 4),
@@ -358,10 +491,30 @@ def main():
         "ours_per_image": [round(p, 3) for p in ours_per_image],
         "tolerance_db": args.tol,
         "pass": bool(abs(delta) <= args.tol),
-    }))
+    }
+    gain_ok = True
+    if args.mode == "sr":
+        # SR-gain parity: both programs log <group>/SR_psnr_gain into
+        # their eval metrics.txt — the delta bounds the PlanesSR/EDSR +
+        # SceneCoupler LR/HR coupling numerics end-to-end
+        ref_gain = parse_metrics_txt(results, "SR_psnr_gain")
+        ours_gain = parse_metrics_txt(os.path.join(ws, "results_ours"),
+                                      "SR_psnr_gain")
+        record["reference_sr_gain"] = [round(g, 4) for g in ref_gain]
+        record["ours_sr_gain"] = [round(g, 4) for g in ours_gain]
+        if ref_gain and ours_gain:
+            gd = float(np.mean(ours_gain)) - float(np.mean(ref_gain))
+            record["sr_gain_delta_db"] = round(gd, 4)
+            gain_ok = abs(gd) <= args.tol
+            record["pass"] = bool(record["pass"] and gain_ok)
+        else:
+            record["pass"] = False
+            gain_ok = False
+    print(json.dumps(record))
     assert abs(delta) <= args.tol, (
         f"PSNR parity FAILED: ours {ours_psnr:.3f} vs reference "
         f"{ref_psnr:.3f} (|delta| {abs(delta):.3f} > {args.tol})")
+    assert gain_ok, "SR_psnr_gain parity FAILED: " + json.dumps(record)
     print("PARITY OK")
 
 
