@@ -532,9 +532,13 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 and tile_cfg.tile_rays * slab <= 512)
     if fused_ok:
         cv = vp_ray.shape[-1]
+        # bf16 view features: the decoder matmul casts to bf16 anyway,
+        # and this halves the largest per-point kernel input (HBM and
+        # VMEM traffic both)
         view64 = jnp.broadcast_to(
             jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
-                    ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
+                    ).astype(jnp.bfloat16
+                             ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
             (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
                 n_pts, fused_decoder.HALF)
         wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(

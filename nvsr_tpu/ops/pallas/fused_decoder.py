@@ -167,7 +167,11 @@ def decode_body(feats, fv, wref, bref, cfg, plan_info):
                 y = matmul(x, 128)
                 assert rows_n == 128
             y = y + bref[state["li"], :]
-            x = jnp.maximum(y, 0.0)
+            # store activations in bf16: the next matmul casts its input
+            # to bf16 anyway, so this is bit-identical — it just halves
+            # the [B, 128] inter-layer VMEM traffic (the kernel is
+            # VMEM-bandwidth bound, PERF.md round 3)
+            x = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
             state["li"] += 1
         return x
 

@@ -507,8 +507,12 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
             w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
                             ).astype(jnp.bfloat16)
             dma(slot, org_cur, g, p).wait()
+            # bf16 tap pairs: same declared semantics as the standalone
+            # tile sampler (_tile_gather returns bf16 rows); halves the
+            # [B, 128] gather-output VMEM traffic
             rows = jnp.dot(w, region[slot, g, p].reshape(T, LANES),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
             feats.append(lerp_pair(rows, tr_[pl.ds(g * B, B), :]))
         fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
         head = decode_body(feats, fv, wref, bref, cfg, plan_info)
