@@ -630,6 +630,18 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave)."""
+    import os
+    if os.environ.get("NVSR_MEGA_STUB", "0") == "1":
+        # attribution-only debug knob (BENCH docs): skip the pallas call
+        # but keep every producer alive with non-foldable tiny terms, so
+        # an in-frame ablation isolates kernel time from wrapper time
+        from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
+        dep = ((fidx[0] + fidx[1] + fidx[2] + ty[0]).reshape(-1, 1)
+               * 1e-6 + org.sum() * 1e-9)
+        out = (view_c[:, :OUT_LANES].astype(jnp.float32) + dep
+               + table[:1, :OUT_LANES].astype(jnp.float32) * 1e-30
+               + wpack[:1, :OUT_LANES] * 1e-30)
+        return out, overflow_frac
     NC = org.shape[0]
     pad = _round_up(NC, group) - NC
     if pad:

@@ -44,7 +44,32 @@ def density_rgb(p):
     return sigma, rgb
 
 
-def render_view(c2w, size, focal, n_steps=96, near=2.0, far=6.0):
+def density_rgb_ring(p):
+    """Second scene family (occupancy validation, VERDICT r2 #7):
+    an off-center horizontal torus plus an elongated diagonal bar —
+    much wider x/y occupancy, thin in z, strongly anisotropic; nothing
+    the moments estimator's defaults were tuned on (the blob family is
+    two compact isotropic Gaussians near the origin)."""
+    q = p - np.array([0.2, -0.1, 0.3])
+    ring_r = np.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - 1.2
+    d1 = np.exp(-(ring_r ** 2 + q[..., 2] ** 2) / 0.06)
+    b = p - np.array([-0.3, 0.2, -0.4])
+    u = (b[..., 0] + b[..., 1]) / np.sqrt(2)      # bar axis (diagonal)
+    v = (b[..., 0] - b[..., 1]) / np.sqrt(2)
+    d2 = np.exp(-(u ** 2 / 1.1 + v ** 2 / 0.05 + b[..., 2] ** 2 / 0.05))
+    sigma = 16 * d1 + 20 * d2
+    w1 = d1 / (d1 + d2 + 1e-9)
+    w2 = d2 / (d1 + d2 + 1e-9)
+    rgb = (w1[..., None] * np.array([0.95, 0.7, 0.15])
+           + w2[..., None] * np.array([0.25, 0.8, 0.45]))
+    return sigma, rgb
+
+
+FIELDS = {"blob": density_rgb, "ring": density_rgb_ring}
+
+
+def render_view(c2w, size, focal, n_steps=96, near=2.0, far=6.0,
+                field=density_rgb):
     ys, xs = np.meshgrid(np.arange(size) + 0.5, np.arange(size) + 0.5,
                          indexing="ij")
     dirs = np.stack([(xs - size / 2) / focal, -(ys - size / 2) / focal,
@@ -53,7 +78,7 @@ def render_view(c2w, size, focal, n_steps=96, near=2.0, far=6.0):
     ro = c2w[:3, 3]
     t = np.linspace(near, far, n_steps)
     pts = ro + rd[..., None, :] * t[:, None]
-    sigma, rgb = density_rgb(pts)
+    sigma, rgb = field(pts)
     dt = t[1] - t[0]
     alpha = 1 - np.exp(-sigma * dt * np.linalg.norm(rd, axis=-1)[..., None])
     trans = np.cumprod(1 - alpha + 1e-10, axis=-1)
@@ -65,8 +90,9 @@ def render_view(c2w, size, focal, n_steps=96, near=2.0, far=6.0):
 
 
 def write_scene(root, name, size, n_train=24, n_val=4, n_test=4,
-                camera_angle_x=0.8):
+                camera_angle_x=0.8, field="blob"):
     """Write a Blender-format scene dir; returns its path."""
+    field_fn = FIELDS[field]
     scene = os.path.join(root, name)
     os.makedirs(scene, exist_ok=True)
     focal_over_w = 0.5 / np.tan(camera_angle_x / 2)
@@ -82,7 +108,8 @@ def write_scene(root, name, size, n_train=24, n_val=4, n_test=4,
             eye = 4.0 * np.array([np.cos(a) * np.cos(el),
                                   np.sin(a) * np.cos(el), np.sin(el)])
             c2w = camera(eye)
-            img = render_view(c2w, size, focal_over_w * size)
+            img = render_view(c2w, size, focal_over_w * size,
+                              field=field_fn)
             rgba = np.concatenate([img, np.ones_like(img[..., :1])], -1)
             fp = f"{split}/r_{i}"
             imageio.imwrite(os.path.join(scene, fp + ".png"),
@@ -97,6 +124,9 @@ def write_scene(root, name, size, n_train=24, n_val=4, n_test=4,
 
 
 if __name__ == "__main__":
-    write_scene(sys.argv[1], sys.argv[2], int(sys.argv[3]),
-                *(int(a) for a in sys.argv[4:]))
+    # usage: gen_scene.py root name size [n_train n_val n_test [field]]
+    ints = [int(a) for a in sys.argv[4:7]]
+    field = sys.argv[7] if len(sys.argv) > 7 else "blob"
+    write_scene(sys.argv[1], sys.argv[2], int(sys.argv[3]), *ints,
+                field=field)
     print("scene written")

@@ -33,33 +33,38 @@ sys.path.insert(0, REPO)
 from parity_check import CONFIG_TMPL  # noqa: E402
 
 
-def ensure_scene(ws, size, n_train=32):
+def ensure_scene(ws, size, n_train=32, field="blob"):
     """Generate the analytic scene with enough views for a crisp field
-    (the parity harness's 8-view default floats badly at any scale)."""
+    (the parity harness's 8-view default floats badly at any scale).
+    field: scene family from gen_scene.FIELDS — 'blob' (two compact
+    isotropic Gaussians; the family the estimator defaults were tuned
+    on) or 'ring' (off-center torus + diagonal bar: wide x/y, thin z,
+    strongly anisotropic — VERDICT r2 #7's unseen-geometry check)."""
     import subprocess
-    scene_dir = os.path.join(ws, "datasets", "blob")
+    scene_dir = os.path.join(ws, "datasets", field)
     if not os.path.isfile(os.path.join(scene_dir, "transforms_val.json")):
         subprocess.run(
             [sys.executable, os.path.join(TOOLS, "gen_scene.py"),
-             os.path.join(ws, "datasets"), "blob", str(size),
-             str(n_train), "4", "4"], check=True)
+             os.path.join(ws, "datasets"), field, str(size),
+             str(n_train), "4", "4", field], check=True)
     return scene_dir
 
 
-def build_cfg(ws, variant, iters, scene_key="2,128,16"):
+def build_cfg(ws, variant, iters, scene_key="2,128,16", field="blob"):
     from nvsr_tpu.utils.config import get_config
     os.makedirs(os.path.join(ws, "config"), exist_ok=True)
     with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
         f.write(f"root: {ws}\n")
-    path = os.path.join(ws, "config", f"occval_{variant}.yml")
+    path = os.path.join(ws, "config", f"occval_{field}_{variant}.yml")
     with open(path, "w") as f:
-        f.write(CONFIG_TMPL.format(logdir=f"logs_{variant}", iters=iters))
+        f.write(CONFIG_TMPL.format(logdir=f"logs_{field}_{variant}",
+                                   iters=iters))
     cfg = get_config(path)
-    cfg.experiment["id"] = f"occval_{variant}"
+    cfg.experiment["id"] = f"occval_{field}_{variant}"
     # a converged, capable model (the parity template's 25x25-view ds-4
     # setup never exceeds ~15 dB held-out; occupancy questions are only
     # meaningful on a field whose geometry is crisp)
-    cfg.dataset["dir"]["train"] = {scene_key: ["blob"]}
+    cfg.dataset["dir"]["train"] = {scene_key: [field]}
     cfg.nerf.train["num_random_rays"] = 1024
     samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16,
                "T": 16, "U": 16, "V": 16}[variant]
@@ -72,8 +77,8 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16"):
         cfg.models.coarse["dec_channels"] = 128
         cfg.models.coarse["dec_density_layers"] = 4
         cfg.models.coarse["dec_rgb_layers"] = 4
-        cfg.experiment["id"] = f"occval_V"  # share V's training run
-        cfg.experiment["logdir"] = "logs_V"
+        cfg.experiment["id"] = f"occval_{field}_V"  # share V's training
+        cfg.experiment["logdir"] = f"logs_{field}_V"
         if variant == "U":
             cfg.nerf.validation["tiled_gather"] = True
     if variant == "T":
@@ -100,12 +105,12 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16"):
     return cfg
 
 
-def run_variant(ws, variant, iters):
+def run_variant(ws, variant, iters, field="blob"):
     from nvsr_tpu.experiment import Experiment
     from nvsr_tpu.ops.rendering import mse2psnr
     import jax.numpy as jnp
 
-    cfg = build_cfg(ws, variant, iters)
+    cfg = build_cfg(ws, variant, iters, field=field)
     exp = Experiment(cfg, root_path=ws)
     exp.run(max_iters=iters)
     losses = exp.evaluate(iters)
@@ -125,14 +130,16 @@ def main():
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--size", type=int, default=200)
     ap.add_argument("--variants", default="A,B,C,D,E")
+    ap.add_argument("--field", default="blob",
+                    help="scene family: blob | ring (gen_scene.FIELDS)")
     args = ap.parse_args()
     ws = os.path.abspath(args.workdir)
     os.makedirs(ws, exist_ok=True)
-    ensure_scene(ws, args.size)
+    ensure_scene(ws, args.size, field=args.field)
 
-    out = {"iters": args.iters, "size": args.size}
+    out = {"iters": args.iters, "size": args.size, "field": args.field}
     for v in args.variants.split(","):
-        psnr, occ = run_variant(ws, v, args.iters)
+        psnr, occ = run_variant(ws, v, args.iters, field=args.field)
         out[f"psnr_{v}"] = round(psnr, 3)
         if occ is not None:
             out[f"occ_aabb_{v}"] = occ
