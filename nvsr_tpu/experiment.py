@@ -957,6 +957,28 @@ class Experiment:
             return None
         return tc
 
+    def train_tile_cfg(self, scene_id: str, num_rays: int):
+        """TileSamplerConfig for TRAINING steps when opted in
+        (nerf.train.tiled_gather: true) and the geometry qualifies;
+        None otherwise. Opt-IN, unlike eval: it changes ray-selection
+        semantics (tile-coherent batches, train.choose_tile_pixels)
+        from the reference's i.i.d. pixels (train_nerf.py:838-845).
+        The per-ray math is unchanged and gradients ride the tile
+        sampler's custom VJP (tile_sampler.tiled_plane_sample_trainable)."""
+        from nvsr_tpu.ops.pallas.tile_sampler import HALF, TileSamplerConfig
+        if not self.cfg.get_path("nerf.train.tiled_gather", False):
+            return None
+        if (not self.planes_model or self.mesh is not None
+                or self.model_cfg.plane_interp != "bilinear"
+                or self.model_cfg.num_plane_channels > HALF):
+            return None
+        spec = str(self.cfg.get_path("nerf.train.tile_shape", "8x8"))
+        th, _, tw = spec.partition("x")
+        th, tw = int(th), int(tw or th)
+        if num_rays % (th * tw):
+            return None
+        return TileSamplerConfig(tile_rays=th * tw)
+
     def render_eval_image(self, scene_id: str, img_idx: int,
                           skip_sr: bool = False):
         """Render one full eval view (reference render_view,
@@ -1171,9 +1193,18 @@ class Experiment:
         # host side picks only the pixel INDICES; the selected rays are
         # computed on-device in one jitted program (no full-map ray
         # materialization or host transfer — VERDICT r1 weak #4)
+        train_tc = None if consistency_iter \
+            else self.train_tile_cfg(scene_id, num_rays)
         if consistency_iter:
             rows, cols, target = choose_patch_pixels(
                 self.host_rng, img, num_rays, coupler_ds)
+        elif train_tc is not None:
+            from nvsr_tpu.train import choose_tile_pixels
+            spec = str(self.cfg.get_path("nerf.train.tile_shape", "8x8"))
+            tth, _, ttw = spec.partition("x")
+            rows, cols, target = choose_tile_pixels(
+                self.host_rng, img, num_rays,
+                tile=(int(tth), int(ttw or tth)))
         else:
             rows, cols, target = choose_random_pixels(
                 self.host_rng, img, num_rays)
@@ -1249,7 +1280,8 @@ class Experiment:
                     and self.occupancy_cfg["mode"] == "surface"
                     and self.planes_buffer.optimize),
                 surf_weight_eps=float(
-                    (self.occupancy_cfg or {}).get("weight_eps", 0.01)))
+                    (self.occupancy_cfg or {}).get("weight_eps", 0.01)),
+                tile_cfg=train_tc)
             planes = self.planes_buffer.get(scene_id)
             dc = self.decoder_coarse if self.decoder_opt is None \
                 else self.decoder_opt.params["dc"]

@@ -474,7 +474,8 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
 def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                                r, s, *, member, noise_key, rot_mats,
                                tile_cfg, tile_tables, origins=None,
-                               directions=None, z_vals=None):
+                               directions=None, z_vals=None,
+                               trainable=False, plane_resolution=None):
     """Tiled-sampler forward, entirely in CHUNK point order.
 
     Per-point data is never transposed: when origins/directions/z_vals
@@ -494,7 +495,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     configuration silently clamped 67% of fine-pass chunks on the
     800^2 planes (measured; PERF.md round 2)."""
     assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
-    assert noise_key is None, "tiled sampler is an eval-only path"
+    assert trainable or noise_key is None, \
+        "point_coords_noise requires the trainable tiled path"
     from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
     slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
     # large ray tiles shorten the slab so chunks stay at the
@@ -527,7 +529,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         else make_rot_mats(cfg.num_planes)
     interpret = jax.default_backend() == "cpu"
     n_pts = r * s
-    fused_ok = (fused_decoder.supports(cfg) and vp_ray is not None
+    fused_ok = (not trainable
+                and fused_decoder.supports(cfg) and vp_ray is not None
                 and planes_pos.shape[0] == 3
                 and tile_cfg.tile_rays * slab <= 512)
     if fused_ok:
@@ -578,12 +581,32 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     else:
         pts_c = to_chunks(pts, nt, tr, ns, sl)              # [NC, B, 3]
     xyz = normalize_coords(pts_c.reshape(-1, 3), box[:, :3])
+    if noise_key is not None and cfg.point_coords_noise:
+        # train-time point_coords_noise on the normalized coords
+        # (reference models.py:289-293) — drawn in chunk-major point
+        # order here (same distribution; the tiled train path is an
+        # opt-in whose ray order already differs from the reference)
+        assert plane_resolution is not None
+        std = cfg.point_coords_noise * 2.0 / (1 + plane_resolution)
+        xyz = xyz + std * jax.random.normal(noise_key, xyz.shape, xyz.dtype)
     grids = project_to_planes(xyz, rot)                     # [P, N, 2]
     p = grids.shape[0]
-    pos_projs, overflow = tiled_plane_sample_prechunked(
-        planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
-        align_corners=cfg.align_corners, interpret=interpret,
-        tables=tile_tables)
+    if trainable:
+        # custom-VJP sampler: forward = the Pallas tile gather,
+        # backward = hat-weight scatter into the pair table (the
+        # training gather, reference train_nerf.py:903 backward
+        # through grid_sample at models.py:303-309). The table is
+        # built inside the VJP boundary — planes change every step
+        from nvsr_tpu.ops.pallas.tile_sampler import \
+            tiled_plane_sample_trainable
+        pos_projs, overflow = tiled_plane_sample_trainable(
+            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
+            cfg.align_corners, interpret)
+    else:
+        pos_projs, overflow = tiled_plane_sample_prechunked(
+            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
+            align_corners=cfg.align_corners, interpret=interpret,
+            tables=tile_tables)
     view_c = None
     if vp_ray is not None:
         cv = vp_ray.shape[-1]
@@ -599,7 +622,9 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
 def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
                                plane_view, box, origins, directions,
                                viewdirs, z_vals, *, member: int = 0,
-                               rot_mats=None, tile_cfg, tile_tables=None):
+                               rot_mats=None, tile_cfg, tile_tables=None,
+                               trainable=False, noise_key=None,
+                               plane_resolution=None):
     """Tiled ray forward straight from (origins, directions, z_vals) —
     skips the ray-major pts materialization entirely (points are
     generated chunk-major inside). origins/directions [R,3],
@@ -612,9 +637,10 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
     out, overflow = _apply_triplane_rays_tiled(
         params, cfg, planes_pos, box, None, vp_ray, r, s, member=member,
-        noise_key=None, rot_mats=rot_mats, tile_cfg=tile_cfg,
+        noise_key=noise_key, rot_mats=rot_mats, tile_cfg=tile_cfg,
         tile_tables=tile_tables, origins=origins, directions=directions,
-        z_vals=z_vals)
+        z_vals=z_vals, trainable=trainable,
+        plane_resolution=plane_resolution)
     return out, {"overflow_frac": overflow}
 
 

@@ -268,6 +268,40 @@ def from_chunks(x, ntiles, tile_rays, nslabs, slab):
     return x.reshape(*lead, ntiles * tile_rays, nslabs * slab, D)
 
 
+def _grid_chunk_descriptors(g_c, H, W, Hp, config: TileSamplerConfig,
+                            align_corners: bool):
+    """Per-chunk region descriptors from chunk-ordered grids.
+
+    g_c [P, NC, B, 2] normalized (x, y) -> (oy [P, NC] aligned region
+    row origins, ox [P, NC] cell origins, fidx [P, NC, B] local flat
+    coords, ty [P, NC, B] vertical lerp weights, overflow_frac). Shared
+    by the forward sampler and the custom-VJP backward (which must
+    rebuild the exact forward descriptors, clamping included, so the
+    gradient matches what the forward actually computed)."""
+    th, tw = config.th, config.tw
+    xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
+    yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
+    y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
+    ty = yp - y0.astype(yp.dtype)                        # [P, NC, B]
+    x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
+
+    ymin = jnp.min(y0, axis=-1)
+    ymax = jnp.max(y0, axis=-1)
+    xmin = jnp.min(x0, axis=-1)
+    xmax = jnp.max(x0, axis=-1)
+    oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [P, NC]
+    ox = jnp.clip(xmin, 0, W - 1)
+    overflow = ((ymax - oy > th - 1) |
+                (xmax + 1 - ox > tw - 1))
+    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
+
+    yl = jnp.clip(y0 - oy[..., None], 0, th - 1).astype(jnp.float32)
+    xl = jnp.clip(xp - ox[..., None].astype(xp.dtype), 0.0,
+                  tw - 1.0 - 1e-3)
+    fidx = yl * tw + xl                                  # [P, NC, B]
+    return oy, ox, fidx, ty, overflow_frac
+
+
 def tiled_plane_sample_chunked(planes, grids, config: TileSamplerConfig,
                                align_corners: bool = True,
                                interpret: bool = False, tables=None):
@@ -325,27 +359,8 @@ def tiled_plane_sample_prechunked(planes, g_c, config: TileSamplerConfig,
 
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
-
-    xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
-    yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
-    y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
-    ty = yp - y0.astype(yp.dtype)                        # [P, NC, B]
-    x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
-
-    ymin = jnp.min(y0, axis=-1)
-    ymax = jnp.max(y0, axis=-1)
-    xmin = jnp.min(x0, axis=-1)
-    xmax = jnp.max(x0, axis=-1)
-    oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [P, NC]
-    ox = jnp.clip(xmin, 0, W - 1)
-    overflow = ((ymax - oy > th - 1) |
-                (xmax + 1 - ox > tw - 1))
-    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
-
-    yl = jnp.clip(y0 - oy[..., None], 0, th - 1).astype(jnp.float32)
-    xl = jnp.clip(xp - ox[..., None].astype(xp.dtype), 0.0,
-                  tw - 1.0 - 1e-3)
-    fidx = yl * tw + xl                                  # [P, NC, B]
+    oy, ox, fidx, ty, overflow_frac = _grid_chunk_descriptors(
+        g_c, H, W, Hp, config, align_corners)
 
     # fold the plane index into the stacked-table row origin
     plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
@@ -595,25 +610,8 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
 
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
-
-    xp = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), 0.0, W - 1.0)
-    yp = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), 0.0, H - 1.0)
-    y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
-    ty = yp - y0.astype(yp.dtype)                        # [3, NC, B]
-    x0 = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, W - 1)
-    ymin = jnp.min(y0, axis=-1)
-    ymax = jnp.max(y0, axis=-1)
-    xmin = jnp.min(x0, axis=-1)
-    xmax = jnp.max(x0, axis=-1)
-    oy = jnp.clip((ymin // YALIGN) * YALIGN, 0, Hp - th)  # [3, NC]
-    ox = jnp.clip(xmin, 0, W - 1)
-    overflow = ((ymax - oy > th - 1) | (xmax + 1 - ox > tw - 1))
-    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
-
-    yl = jnp.clip(y0 - oy[..., None], 0, th - 1).astype(jnp.float32)
-    xl = jnp.clip(xp - ox[..., None].astype(xp.dtype), 0.0,
-                  tw - 1.0 - 1e-3)
-    fidx = yl * tw + xl                                  # [3, NC, B]
+    oy, ox, fidx, ty, overflow_frac = _grid_chunk_descriptors(
+        g_c, H, W, Hp, config, align_corners)
 
     plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
     org = jnp.stack([oy + plane_row0, ox], axis=-1)      # [3, NC, 2]
@@ -661,6 +659,152 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     if pad:
         out = out[:NC * B]
     return out, overflow_frac
+
+
+# ---------------------------------------------------------------------------
+# Trainable tiled sampler: custom VJP (the training-path gather)
+# ---------------------------------------------------------------------------
+#
+# The reference's training hot path backpropagates through grid_sample
+# (reference models.py:303-309, reached by loss.backward() at
+# train_nerf.py:903): the backward of a bilinear gather is a scatter of
+# the hat weights into the plane gradient. This entry makes the Pallas
+# tile sampler differentiable so PATCH-COHERENT training batches (see
+# render.tile_ray_maps / the opt-in patch sampler) can ride the fast
+# gather in both directions:
+#   forward:  the _tile_gather kernel (same numerics as eval);
+#   backward: pure XLA — per-chunk  dregion = w^T @ drows  batched
+#             einsums, one region-windowed scatter-add per chunk into
+#             the pair table, then the (linear) table build transposed
+#             back onto the planes.
+# Gradients flow to `planes` only; the grid cotangent is zero (the
+# reference never differentiates w.r.t. sample coordinates either —
+# grids derive from untrained ray geometry). Clamped (overflowing)
+# chunks backprop through the same clamped descriptors the forward
+# used, so the gradient is exact for the function actually computed.
+
+def _bwd_chunk_batch(config: TileSamplerConfig, C: int, drows, fidx):
+    """One batch of per-chunk region cotangents.
+
+    drows [nc, B, 128] f32 (vertical-pair layout), fidx [nc, B] ->
+    dregion [nc, th*tw, 128]: rebuild the hat weights and contract over
+    points on the MXU (w^T @ drows), in bf16 like the forward."""
+    T = config.th * config.tw
+    cols = jnp.arange(T, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(cols[None, None, :]
+                                       - fidx[..., None]))
+    return jnp.einsum("cbt,cbl->ctl", w.astype(jnp.bfloat16),
+                      drows.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def _fold_table_grad(dtable, P, C, H, W, Hp, Wp):
+    """Transpose of build_pair_tables: [P*Hp, Wp*128] -> [P, C, H, W].
+
+    Padded columns (x >= W) and padded rows (y >= H) are edge
+    replicas, so their cotangents fold into column W-1 / row H-1; the
+    bottom-tap half (lanes HALF:) addressed row min(y+1, H-1)."""
+    d = dtable.reshape(P, Hp, Wp, LANES)
+    # x edge-pad fold
+    dx = d[:, :, :W]
+    dx = dx.at[:, :, W - 1].add(d[:, :, W:].sum(axis=2))
+    top = dx[..., :C]                                  # [P, Hp, W, C]
+    bot = dx[..., HALF:HALF + C]
+    # top taps: row y for y < H; pad rows replicate H-1
+    dt = top[:, :H]
+    dt = dt.at[:, H - 1].add(top[:, H:].sum(axis=1))
+    # bottom taps: table row y holds plane row min(y+1, H-1)
+    db = jnp.zeros_like(dt)
+    db = db.at[:, 1:H].add(bot[:, :H - 1])
+    db = db.at[:, H - 1].add(bot[:, H - 1:].sum(axis=1))
+    return (dt + db).transpose(0, 3, 1, 2)             # [P, C, H, W]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def tiled_plane_sample_trainable(planes, g_c, config: TileSamplerConfig,
+                                 align_corners: bool = True,
+                                 interpret: bool = False,
+                                 bwd_batch: int = 256):
+    """Differentiable tiled_plane_sample_prechunked (planes grads only).
+
+    planes [P, C, H, W]; g_c [P, NC, B, 2] chunk-ordered normalized
+    grids -> ([P, NC*B, C] f32 chunk-major features, overflow_frac).
+    The pair table is built INSIDE the VJP boundary (training updates
+    planes every step, so there is no cross-step table reuse to cache).
+    bwd_batch: chunks per backward einsum/scatter batch (bounds the
+    [nc, B, T] hat-weight materialization)."""
+    return tiled_plane_sample_prechunked(
+        planes, g_c, config, align_corners=align_corners,
+        interpret=interpret)
+
+
+def _trainable_fwd(planes, g_c, config, align_corners, interpret,
+                   bwd_batch):
+    out = tiled_plane_sample_prechunked(
+        planes, g_c, config, align_corners=align_corners,
+        interpret=interpret)
+    return out, (planes.shape, g_c)
+
+
+def _trainable_bwd(config, align_corners, interpret, bwd_batch,
+                   residuals, cots):
+    (P, C, H, W), g_c = residuals
+    dout, _ = cots                      # [P, NCp*B, C]; overflow: no grad
+    _, NC, B, _ = g_c.shape
+    th, tw = config.th, config.tw
+    T = th * tw
+    Hp = max(_round_up(H, YALIGN), config.th)
+    Wp = W + config.tw
+    oy, ox, fidx, ty, _ = _grid_chunk_descriptors(
+        g_c, H, W, Hp, config, align_corners)
+
+    # epilogue transpose: out = top*(1-ty) + bot*ty with top/bot the
+    # row halves -> drows lanes [0:C] = dout*(1-ty), [HALF:HALF+C] =
+    # dout*ty
+    dout = dout.reshape(P, NC, B, C).astype(jnp.float32)
+    tyb = ty[..., None]
+    drows = jnp.zeros((P, NC, B, LANES), jnp.float32)
+    drows = drows.at[..., :C].set(dout * (1.0 - tyb))
+    drows = drows.at[..., HALF:HALF + C].set(dout * tyb)
+
+    plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
+    oy_glob = (oy + plane_row0).reshape(-1)
+    idx = jnp.stack([oy_glob, ox.reshape(-1) * LANES], axis=-1)
+    drows = drows.reshape(P * NC, B, LANES)
+    fidx_f = fidx.reshape(P * NC, B)
+
+    nct = P * NC
+    nb = -(-nct // bwd_batch)
+    pad = nb * bwd_batch - nct
+    if pad:
+        drows = jnp.pad(drows, ((0, pad), (0, 0), (0, 0)))
+        fidx_f = jnp.pad(fidx_f, ((0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad), (0, 0)))
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+
+    def body(dtable, args):
+        dr, fx, ix = args
+        dregion = _bwd_chunk_batch(config, C, dr, fx)   # [nc, T, 128]
+        upd = dregion.reshape(-1, th, tw * LANES)
+        dtable = jax.lax.scatter_add(
+            dtable, ix, upd, dnums,
+            indices_are_sorted=False, unique_indices=False)
+        return dtable, None
+
+    dtable = jnp.zeros((P * Hp, Wp * LANES), jnp.float32)
+    dtable, _ = jax.lax.scan(
+        body, dtable,
+        (drows.reshape(nb, bwd_batch, B, LANES),
+         fidx_f.reshape(nb, bwd_batch, B),
+         idx.reshape(nb, bwd_batch, 2)))
+    dplanes = _fold_table_grad(dtable, P, C, H, W, Hp, Wp)
+    return dplanes.astype(jnp.float32), jnp.zeros_like(g_c)
+
+
+tiled_plane_sample_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
 def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,

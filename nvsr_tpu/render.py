@@ -268,7 +268,7 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
 def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                            member: int = 0, noise_key=None,
                            plane_resolution=None, rot_mats=None,
-                           tile_cfg=None) -> PointFn:
+                           tile_cfg=None, tile_train=False) -> PointFn:
     """Triplane decoder point function (identity encoding; reference
     wires encode_* to identity for the planes model,
     train_nerf.py:312-314).
@@ -279,21 +279,31 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
     per point-fn, so the per-block sampling inside lax.map reuses it."""
 
     if tile_cfg is not None:
-        # the tiled sampler is an eval-only path: a silently dropped
-        # training noise key would change semantics with no signal
-        assert noise_key is None and plane_resolution is None, (
-            "tile_cfg is an eval-only fast path; it does not support "
-            "point_coords_noise (noise_key/plane_resolution)")
         from nvsr_tpu.models.triplane import apply_triplane_rays_from_z
-        from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
-        tile_tables = build_pair_tables(planes_pos, tile_cfg)
+        if tile_train:
+            # trainable tiled path (custom-VJP sampler, XLA decoder):
+            # no table prebuild — the pair table must live inside the
+            # VJP boundary since the differentiated planes rebuild it
+            # every training step
+            tile_tables = None
+        else:
+            # the fused eval path cannot backprop or add coordinate
+            # noise: a silently dropped training noise key would change
+            # semantics with no signal
+            assert noise_key is None and plane_resolution is None, (
+                "tile_cfg without tile_train is an eval-only fast "
+                "path; it does not support point_coords_noise "
+                "(noise_key/plane_resolution)")
+            from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
+            tile_tables = build_pair_tables(planes_pos, tile_cfg)
 
         def point_fn(pts, rays, z_vals):
             return apply_triplane_rays_from_z(
                 params, model_cfg, planes_pos, plane_view, box,
                 rays.origins, rays.directions, rays.viewdirs, z_vals,
                 member=member, rot_mats=rot_mats, tile_cfg=tile_cfg,
-                tile_tables=tile_tables)
+                tile_tables=tile_tables, trainable=tile_train,
+                noise_key=noise_key, plane_resolution=plane_resolution)
 
         point_fn.consumes_rays = True
         # returns ([R,S,4], {"overflow_frac": scalar}) — the fraction of

@@ -73,6 +73,12 @@ class StepFlags:
     # RENDERS gets ~zero weight (measured: tools/val_occupancy.py).
     track_surface_aabb: bool = False
     surf_weight_eps: float = 0.01
+    # opt-in patch-coherent training gather (nerf.train.tiled_gather):
+    # rays must arrive tile-major (choose_tile_pixels) so chunks share
+    # plane regions; the positional gathers then ride the Pallas tile
+    # sampler in BOTH directions (custom VJP) instead of the per-row
+    # XLA gather. None = reference semantics (random rays, XLA path).
+    tile_cfg: Optional[object] = None
 
 
 def _loss_weight(flags: StepFlags) -> float:
@@ -140,14 +146,17 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             if flags.apply_sr_to_coarse:
                 coarse_planes = sr_out
 
+        tiled = {}
+        if flags.tile_cfg is not None:
+            tiled = dict(tile_cfg=flags.tile_cfg, tile_train=True)
         pf_coarse = make_triplane_point_fn(
             dc, model_cfg, coarse_planes, plane_view, box,
             member=flags.member, noise_key=nk_c,
-            plane_resolution=flags.plane_resolution)
+            plane_resolution=flags.plane_resolution, **tiled)
         pf_fine = make_triplane_point_fn(
             df, model_cfg, fine_planes, plane_view, box,
             member=flags.member, noise_key=nk_f,
-            plane_resolution=flags.plane_resolution)
+            plane_resolution=flags.plane_resolution, **tiled)
         out = render_rays(pf_coarse, pf_fine, rays, k_render, rcfg)
 
         rgb_coarse = out.coarse.rgb
@@ -172,6 +181,10 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             "psnr": mse2psnr(rendering_loss),
             "fine_psnr": mse2psnr(fine_loss),
         }
+        if out.aux and "overflow_frac" in out.aux:
+            # tiled-gather safety net: fraction of chunks clamped to
+            # the static region capacity (must stay 0.0 in training)
+            aux["overflow_frac"] = out.aux["overflow_frac"]
         if flags.track_surface_aabb:
             o = out.fine if out.fine is not None else out.coarse
             w = jax.lax.stop_gradient(o.weights)          # [R, S]
@@ -368,6 +381,36 @@ def choose_random_pixels(rng: np.random.Generator, image, num_rays: int):
     n = min(h * w, num_rays)
     idx = rng.choice(h * w, size=n, replace=False)
     rows, cols = idx // w, idx % w
+    return rows, cols, image[rows, cols]
+
+
+def choose_tile_pixels(rng: np.random.Generator, image, num_rays: int,
+                       tile=(8, 8)):
+    """Tile-coherent pixel pick: random th x tw image tiles, tile-major.
+
+    The opt-in fast-training sampler (nerf.train.tiled_gather): each
+    group of th*tw consecutive rays covers one contiguous image tile,
+    giving the batch the spatial coherence the Pallas tile sampler
+    needs (chunks of nearby rays share one plane region). Tile ORIGINS
+    are arbitrary (not grid-aligned), so every pixel is reachable and
+    expected coverage matches uniform sampling up to edge effects.
+    Non-reference ray-selection semantics; the per-ray math is
+    unchanged (reference train_nerf.py:838-845 draws i.i.d. pixels).
+
+    Returns (rows [N], cols [N], target [N,C]) with N the largest
+    multiple of th*tw <= min(num_rays, H*W).
+    """
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    h, w = image.shape[:2]
+    n_tiles = max(1, min(num_rays, h * w) // (th * tw))
+    oy = rng.integers(0, max(1, h - th + 1), size=n_tiles)
+    ox = rng.integers(0, max(1, w - tw + 1), size=n_tiles)
+    rows = (oy[:, None, None] + np.arange(th)[None, :, None])
+    cols = (ox[:, None, None] + np.arange(tw)[None, None, :])
+    rows = np.broadcast_to(rows, (n_tiles, th, tw)).reshape(-1)
+    cols = np.broadcast_to(cols, (n_tiles, th, tw)).reshape(-1)
+    rows = np.minimum(rows, h - 1)
+    cols = np.minimum(cols, w - 1)
     return rows, cols, image[rows, cols]
 
 

@@ -487,3 +487,181 @@ def test_rect_tiles_no_overflow_on_flagship_geometry():
             ovf = ((y0.max(-1) - oy > cfgT.th - 1)
                    | (x0.max(-1) + 1 - x0.min(-1) > cfgT.tw - 1))
             assert ovf.mean() == 0.0, (tile, S, res)
+
+
+# ---------------------------------------------------------------------------
+# Trainable tiled sampler (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _chunked_grids_and_cfg(rng, P=3, C=8, H=64, W=64):
+    cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=2)
+    R, S = 32, 8
+    planes = jnp.asarray(rng.standard_normal((P, C, H, W)).astype(np.float32))
+    grids = _clustered_grids(rng, P, R, S, cfg)
+    from nvsr_tpu.ops.pallas.tile_sampler import to_chunks
+    g_c = to_chunks(grids, R // cfg.tile_rays, cfg.tile_rays,
+                    S // cfg.slab, cfg.slab)
+    return planes, grids, g_c, cfg, R, S
+
+
+def test_trainable_forward_matches_prechunked(rng):
+    from nvsr_tpu.ops.pallas.tile_sampler import (
+        tiled_plane_sample_prechunked, tiled_plane_sample_trainable)
+    planes, _, g_c, cfg, _, _ = _chunked_grids_and_cfg(rng)
+    out, ov = tiled_plane_sample_trainable(planes, g_c, cfg, True, True)
+    ref, ov_ref = tiled_plane_sample_prechunked(planes, g_c, cfg,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert float(ov) == float(ov_ref) == 0.0
+
+
+def test_trainable_grad_matches_xla_oracle(rng):
+    """d loss/d planes of the tiled sampler == the differentiable XLA
+    bilinear path (reference semantics: grid_sample autograd, reference
+    models.py:303-309 reached by train_nerf.py:903), up to the bf16
+    table/backward rounding the forward also carries."""
+    from nvsr_tpu.ops.pallas.tile_sampler import tiled_plane_sample_trainable
+    planes, grids, g_c, cfg, R, S = _chunked_grids_and_cfg(rng)
+    P, C, H, W = planes.shape
+    # random cotangent, fixed: loss = <cot, out>
+    cot = jnp.asarray(rng.standard_normal(
+        (P, g_c.shape[1] * g_c.shape[2], C)).astype(np.float32))
+
+    def loss_tiled(p):
+        out, _ = tiled_plane_sample_trainable(p, g_c, cfg, True, True)
+        return jnp.vdot(cot, out)
+
+    from nvsr_tpu.ops.pallas.tile_sampler import to_chunks
+
+    def loss_ref(p):
+        ref = multi_plane_sample(p, grids.reshape(P, R * S, 2),
+                                 mode="bilinear", align_corners=True)
+        ref_c = to_chunks(ref.reshape(P, R, S, C), R // cfg.tile_rays,
+                          cfg.tile_rays, S // cfg.slab, cfg.slab)
+        return jnp.vdot(cot, ref_c.reshape(P, -1, C))
+
+    g_tiled = jax.grad(loss_tiled)(planes)
+    g_ref = jax.grad(loss_ref)(planes)
+    assert np.all(np.isfinite(np.asarray(g_tiled)))
+    err = np.abs(np.asarray(g_tiled) - np.asarray(g_ref))
+    scale = np.abs(np.asarray(g_ref)).mean() + 1e-6
+    assert err.max() < 0.35 * (np.abs(np.asarray(g_ref)).max() + 1e-6)
+    assert err.mean() < 2e-2 * scale
+
+
+def test_trainable_grad_zero_for_grids_and_finite_on_overflow(rng):
+    from nvsr_tpu.ops.pallas.tile_sampler import tiled_plane_sample_trainable
+    P, C, H, W = 3, 8, 64, 64
+    cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=2)
+    planes = jnp.asarray(rng.standard_normal((P, C, H, W)).astype(np.float32))
+    # scattered points: most chunks overflow and clamp
+    g = jnp.asarray(rng.uniform(-0.95, 0.95,
+                                size=(P, 2, 64, 2)).astype(np.float32))
+
+    def loss(p, gg):
+        out, _ = tiled_plane_sample_trainable(p, gg, cfg, True, True)
+        return jnp.sum(out ** 2)
+
+    gp, gg = jax.grad(loss, argnums=(0, 1))(planes, g)
+    assert np.all(np.isfinite(np.asarray(gp)))
+    assert float(jnp.abs(gg).max()) == 0.0
+
+
+def test_train_step_tiled_grads_match(rng):
+    """Opt-in tiled training (flags.tile_cfg): one fused train_step
+    through the custom-VJP tile sampler produces the same loss and
+    gradients as the XLA gather path on the same tile-coherent rays
+    (reference backward through grid_sample, train_nerf.py:903), up to
+    the bf16 tap-table rounding the forward carries."""
+    from nvsr_tpu.models import TriplaneConfig, init_decoder_params
+    from nvsr_tpu.render import RenderConfig, make_ray_bundle
+    from nvsr_tpu.train import StepFlags, train_step
+
+    cfg = TriplaneConfig(dec_channels=16, num_plane_channels=8,
+                         dec_density_layers=2, dec_rgb_layers=2,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    params["members"][0]["fc_alpha"]["b"] = (
+        params["members"][0]["fc_alpha"]["b"] + 2.0)
+    planes = {"pos": jnp.asarray(
+        0.5 * rng.standard_normal((3, 8, 64, 64)).astype(np.float32)),
+        "view": jnp.asarray(
+        0.5 * rng.standard_normal((8, 16, 16)).astype(np.float32))}
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16,
+                                 group=2)
+
+    R = 32  # two 4x4-ray tiles
+    origin = np.array([0.0, 0.0, 1.8])
+    d = []
+    for cx in (-0.3, 0.25):
+        dirs = np.stack(np.meshgrid(np.linspace(cx - .05, cx + .05, 4),
+                                    np.linspace(-.05, .05, 4)),
+                        -1).reshape(-1, 2)
+        d.append(np.concatenate([dirs, -np.ones((16, 1))], -1))
+    d = np.concatenate(d).astype(np.float32)
+    ro = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (R, 3))
+    rays = make_ray_bundle(ro, jnp.asarray(d), 0.8, 3.2,
+                           use_viewdirs=True)
+    target = jnp.asarray(rng.uniform(size=(R, 3)).astype(np.float32))
+    rcfg = RenderConfig(num_coarse=8, num_fine=8, perturb=False,
+                        radiance_field_noise_std=0.0)
+    skey = jax.random.PRNGKey(5)
+
+    def run(tc):
+        flags = StepFlags(share_coarse_fine=True, train_sr=False,
+                          tile_cfg=tc)
+        metrics, grads = train_step(params, None, None, planes,
+                                    jnp.asarray(box), rays, target, skey,
+                                    model_cfg=cfg, sr_cfg=None, rcfg=rcfg,
+                                    flags=flags)
+        return metrics, grads
+
+    m_ref, g_ref = run(None)
+    m_tl, g_tl = run(tile_cfg)
+    assert float(m_tl.get("overflow_frac", 0.0)) == 0.0
+    assert abs(float(m_tl["loss"]) - float(m_ref["loss"])) < 3e-3
+
+    for name, gr, gt in [
+            ("planes", g_ref["planes"]["pos"], g_tl["planes"]["pos"]),
+            ("decoder", g_ref["dc"]["members"][0]["fc_alpha"]["w"],
+             g_tl["dc"]["members"][0]["fc_alpha"]["w"])]:
+        gr, gt = np.asarray(gr), np.asarray(gt)
+        assert np.all(np.isfinite(gt)), name
+        scale = np.abs(gr).max() + 1e-8
+        assert np.abs(gt - gr).max() < 0.05 * scale, name
+
+
+def test_experiment_tiled_train_runs(tmp_path):
+    """nerf.train.tiled_gather: the production training iteration runs
+    through the trainable tile sampler (tile-coherent batches + custom
+    VJP) with finite loss, zero region overflow, and planes that
+    actually move."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers_synth import write_blender_scene
+    from test_experiment import _mini_cfg
+    from nvsr_tpu.experiment import Experiment
+
+    write_blender_scene(str(tmp_path / "synt"), "lego", size=32)
+    cfg = _mini_cfg(tmp_path, logdir="logs/tiledtrain",
+                    train_groups={"4,8,8": ["lego"]}, sr=False,
+                    what=("LR_planes", "decoder"), iters=4)
+    for mode in ("train", "validation"):
+        cfg.nerf[mode]["num_coarse"] = 8
+        cfg.nerf[mode]["num_fine"] = 8
+    cfg.nerf.train["tiled_gather"] = True
+    cfg.nerf.train["tile_shape"] = "4x4"
+    cfg.nerf.train["num_random_rays"] = 64
+    exp = Experiment(cfg, root_path=str(tmp_path))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    scene = exp.training_scenes[0]
+    assert exp.train_tile_cfg(scene, 64) is not None
+    before = np.asarray(exp.planes_buffer.get(scene).params()["pos"]).copy()
+    for i in range(4):
+        exp.train_iteration(i)
+    after = np.asarray(exp.planes_buffer.get(scene).params()["pos"])
+    assert not np.allclose(before, after)

@@ -65,7 +65,44 @@ def main():
     target = jnp.full((4096, 3), 0.5)
 
     def run(label, *, sr_hidden=256, sr_blocks=32, samples=64,
-            sr_iter=True, train_planes=True):
+            sr_iter=True, train_planes=True, tile=0, occ=False):
+        step_rays = rays
+        if occ:
+            # occupancy-tightened sampling (the validated production
+            # configuration, PERF.md round 2 / tools/val_occupancy.py):
+            # per-ray [near, far] shrunk to an occupied-AABB band —
+            # THE source of the tile sampler's depth locality
+            step_rays = step_rays._replace(
+                near=jnp.full_like(step_rays.near, 3.2),
+                far=jnp.full_like(step_rays.far, 4.6))
+        tile_cfg = None
+        if tile:
+            # tile-coherent batch (nerf.train.tiled_gather semantics):
+            # 4096/tile^2 random (tile x tile)-pixel tiles of a
+            # FLAGSHIP-SIZED 800x800 view (train.choose_tile_pixels),
+            # riding the custom-VJP sampler. Tile angular extent — and
+            # hence the on-plane footprint the region capacity must
+            # cover — matches production training, unlike a tiling of
+            # the 64x64 debug ray map (whose 16x16 tiles span a quarter
+            # of the image and overflow every region).
+            from nvsr_tpu.ops.geometry import get_rays_at
+            from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+            from nvsr_tpu.render import make_ray_bundle as _mrb
+            rng = np.random.default_rng(7)
+            n_tiles = 4096 // (tile * tile)
+            oy = rng.integers(0, 800 - tile, size=n_tiles)
+            ox = rng.integers(0, 800 - tile, size=n_tiles)
+            rows = (oy[:, None, None] + np.arange(tile)[None, :, None])
+            cols = (ox[:, None, None] + np.arange(tile)[None, None, :])
+            rows = np.broadcast_to(rows, (n_tiles, tile, tile)).reshape(-1)
+            cols = np.broadcast_to(cols, (n_tiles, tile, tile)).reshape(-1)
+            tro, trd = get_rays_at(jnp.asarray(rows), jnp.asarray(cols),
+                                   800, 800, 1000.0,
+                                   jnp.asarray(_camera([3.8, 0.5, 0.7])))
+            step_rays = _mrb(tro, trd,
+                             3.2 if occ else 2.0, 4.6 if occ else 6.0,
+                             use_viewdirs=True)
+            tile_cfg = TileSamplerConfig(tile_rays=tile * tile)
         sr_cfg = None
         sr = None
         if sr_iter:
@@ -75,14 +112,17 @@ def main():
             sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
         rcfg = RenderConfig(num_coarse=samples, num_fine=samples,
                             perturb=True, radiance_field_noise_std=0.2)
-        flags = StepFlags(sr_iter=sr_iter, train_planes=train_planes)
-        out = train_step(dc, df, sr, planes, box, rays, target,
+        flags = StepFlags(sr_iter=sr_iter, train_planes=train_planes,
+                          tile_cfg=tile_cfg)
+        out = train_step(dc, df, sr, planes, box, step_rays, target,
                          jax.random.PRNGKey(9), model_cfg=cfg,
                          sr_cfg=sr_cfg, rcfg=rcfg, flags=flags)
         assert np.isfinite(float(_probe(out[0]["loss"])))
+        if tile:
+            print(f"  overflow_frac={float(out[0]['overflow_frac']):.4f}")
         t0 = time.perf_counter()
         for i in range(reps):
-            out = train_step(dc, df, sr, planes, box, rays, target,
+            out = train_step(dc, df, sr, planes, box, step_rays, target,
                              jax.random.PRNGKey(10 + i), model_cfg=cfg,
                              sr_cfg=sr_cfg, rcfg=rcfg, flags=flags)
         float(_probe(out[0]["loss"]))
@@ -90,13 +130,32 @@ def main():
         print(f"{label:14s} {dt:7.3f} s/step", flush=True)
         return dt
 
-    run("full")
-    run("tiny_sr", sr_hidden=16, sr_blocks=1)
-    run("few_samples", samples=8)
-    run("no_planes", train_planes=False)
-    run("lr_step", sr_iter=False)
-    run("lr_few", sr_iter=False, samples=8)
-    run("lr_no_planes", sr_iter=False, train_planes=False)
+    only = os.environ.get("ONLY", "").split(",") if "ONLY" in os.environ \
+        else None
+
+    def maybe(label, **kw):
+        if only is None or label in only:
+            run(label, **kw)
+
+    maybe("full")
+    maybe("full_tiled8", tile=8)
+    maybe("full_tiled16", tile=16)
+    maybe("tiny_sr", sr_hidden=16, sr_blocks=1)
+    maybe("few_samples", samples=8)
+    maybe("no_planes", train_planes=False)
+    maybe("lr_step", sr_iter=False)
+    maybe("lr_tiled8", sr_iter=False, tile=8)
+    maybe("lr_tiled16", sr_iter=False, tile=16)
+    maybe("lr_few", sr_iter=False, samples=8)
+    maybe("lr_no_planes", sr_iter=False, train_planes=False)
+    # occupancy-tightened 16+16 (the validated production budget,
+    # val_occupancy.py) — the configuration tiled TRAINING targets
+    maybe("lr_occ16", sr_iter=False, samples=16, occ=True)
+    maybe("lr_occ16_t8", sr_iter=False, samples=16, occ=True, tile=8)
+    maybe("lr_occ16_t16", sr_iter=False, samples=16, occ=True, tile=16)
+    maybe("full_occ16", samples=16, occ=True)
+    maybe("full_occ16_t8", samples=16, occ=True, tile=8)
+    maybe("full_occ16_t16", samples=16, occ=True, tile=16)
 
 
 if __name__ == "__main__":
