@@ -946,7 +946,7 @@ class Experiment:
             enabled = jax.default_backend() == "tpu"
         if not enabled:
             return None
-        if (not self.planes_model or self.mesh is not None
+        if (not self.planes_model
                 or self.model_cfg.plane_interp != "bilinear"
                 or self.model_cfg.num_plane_channels > HALF):
             return None
@@ -955,6 +955,19 @@ class Experiment:
         rcfg = self._mode_render_cfg("validation", scene_id)
         if rcfg.ray_block % tc.tile_rays:
             return None
+        if self.mesh is not None:
+            # mesh-sharded tiled eval (render_rays_chunked's shard_map
+            # branch) composes only with pure data parallelism over
+            # replicated params/planes and deterministic sampling, and
+            # each ray shard must keep whole tiles
+            if (self.mesh.shape["model"] > 1
+                    or self.cfg.get_path(
+                        "nerf.train.store_planes.device_pool", False)
+                    or rcfg.perturb
+                    or rcfg.radiance_field_noise_std != 0.0
+                    or rcfg.ray_block % (self.mesh.shape["data"]
+                                         * tc.tile_rays)):
+                return None
         return tc
 
     def train_tile_cfg(self, scene_id: str, num_rays: int):

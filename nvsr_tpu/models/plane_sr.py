@@ -162,22 +162,30 @@ def _init_conv(key, in_ch: int, out_ch: int, k: int, bias: bool,
 
 
 def _conv(p, x, padding="VALID", compute_dtype=None):
-    """x: [N,C,H,W]; weight OIHW (torch layout for ckpt conversion).
+    """x: [N,H,W,C] (NHWC — the TPU-native conv layout); weights stay
+    OIHW in the pytree (torch layout for ckpt conversion) and are
+    transposed to HWIO per call (a few hundred KB, fused away).
+
+    NHWC matters enormously here: XLA:TPU lowers NCHW conv stacks at
+    these shapes (C=256, W~300) through per-layer relayouts measured at
+    up to 90x slower end-to-end (tools/exp_sr_conv.py round 3); all
+    SR-module internals therefore run NHWC and the public plane APIs
+    transpose once at entry/exit.
 
     compute_dtype='bfloat16' casts operands (and the output) to bf16 —
     the MXU still accumulates each conv in f32 internally, so the cost
     is one bf16 rounding per layer. (preferred_element_type upcasting
     is avoided: conv's transpose rule rejects mixed-dtype cotangents.)
     """
-    w = p["w"]
+    w = jnp.transpose(p["w"], (2, 3, 1, 0))         # OIHW -> HWIO
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
-        y = y + p["b"][None, :, None, None].astype(y.dtype)
+        y = y + p["b"].astype(y.dtype)
     return y
 
 
@@ -188,6 +196,16 @@ def pixel_shuffle(x, r: int):
     x = x.reshape(n, c, r, r, h, w)
     x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(n, c, h * r, w * r)
+
+
+def _pixel_shuffle_nhwc(x, r: int):
+    """torch.nn.PixelShuffle in NHWC: [N, H, W, C*r^2] -> [N, rH, rW, C]
+    (torch channel index = c*r^2 + ry*r + rx, models.py upsampler)."""
+    n, h, w, c_r2 = x.shape
+    c = c_r2 // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * r, w * r, c)
 
 
 def _prelu(p, x):
@@ -237,11 +255,12 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
 
     Residual blocks crop their identity path by the VALID margin
     (reference models.py:777-786), scale the residual by 0.1, and the
-    trunk ends with PixelShuffle upscaling.
+    trunk ends with PixelShuffle upscaling. Internals run NHWC (see
+    _conv); entry/exit transpose once.
     """
     cd = cfg.compute_dtype
-    out = _conv(params["conv_input"], x, compute_dtype=cd)
-    h = out
+    h = _conv(params["conv_input"], jnp.transpose(x, (0, 2, 3, 1)),
+              compute_dtype=cd)
 
     # Each residual block is rematerialized: at production dims
     # (256ch x 32 blocks over a padded 336^2 plane) storing every conv
@@ -254,7 +273,7 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
             identity = h
         else:
             m = 2 * (k_sz // 2)
-            identity = h[..., m:-m, m:-m]
+            identity = h[:, m:-m, m:-m, :]
         y = _conv(blk["conv2"], jax.nn.relu(
             _conv(blk["conv1"], h, compute_dtype=cd)), compute_dtype=cd)
         return identity + 0.1 * y
@@ -263,8 +282,9 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
         h = block(blk, h)
     h = _conv(params["conv_mid"], h, compute_dtype=cd)
     for up in params["upscale"]:
-        h = pixel_shuffle(_conv(up, h, compute_dtype=cd), 2)
-    return _conv(params["conv_output"], h, compute_dtype=cd)
+        h = _pixel_shuffle_nhwc(_conv(up, h, compute_dtype=cd), 2)
+    return jnp.transpose(_conv(params["conv_output"], h, compute_dtype=cd),
+                         (0, 3, 1, 2))
 
 
 def _crop_overpadding(y, cfg: PlaneSRConfig):
@@ -376,21 +396,23 @@ def _init_bn(ch: int, dtype=jnp.float32):
 
 
 def _bn(p, x, train: bool):
+    """BatchNorm over NHWC activations (stats across N, H, W)."""
     if train:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        var = jnp.var(x, axis=(0, 2, 3))
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
     else:
         mean, var = p["mean"], p["var"]
     inv = jax.lax.rsqrt(var + 1e-5)
-    return ((x - mean[None, :, None, None]) * inv[None, :, None, None]
-            * p["scale"][None, :, None, None] + p["bias"][None, :, None, None])
+    return (x - mean) * inv * p["scale"] + p["bias"]
 
 
 def apply_srresnet(params, cfg: PlaneSRConfig, x, train: bool = False):
     """[N,C,H,W] -> [N,C,sH,sW]; SAME padding throughout
-    (required_padding == 0, reference models.py:1077)."""
+    (required_padding == 0, reference models.py:1077). Internals run
+    NHWC (see _conv); entry/exit transpose once."""
     same = lambda k: [(k // 2, k // 2)] * 2
 
+    x = jnp.transpose(x, (0, 2, 3, 1))
     h1 = _prelu(params["prelu1"], _conv(params["conv1"], x, padding=same(9)))
     h = h1
     for blk in params["blocks"]:
@@ -408,8 +430,9 @@ def apply_srresnet(params, cfg: PlaneSRConfig, x, train: bool = False):
     h = h1 + h2
     for up in params["upscale"]:
         h = _prelu(up["prelu"],
-                   pixel_shuffle(_conv(up["conv"], h, padding=same(3)), 2))
-    return _conv(params["conv3"], h, padding=same(9))
+                   _pixel_shuffle_nhwc(_conv(up["conv"], h, padding=same(3)), 2))
+    return jnp.transpose(_conv(params["conv3"], h, padding=same(9)),
+                         (0, 3, 1, 2))
 
 
 # ---------------------------------------------------------------------------

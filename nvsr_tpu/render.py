@@ -228,6 +228,13 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
     """
     n = rays.origins.shape[0]
     block = min(rcfg.ray_block, max(n, 1))
+    tile_rays = getattr(point_fn_coarse, "tile_rays", None)
+    if mesh is not None and tile_rays is not None:
+        # each data shard must hold whole ray tiles; round the block up
+        # to the shard granularity (the pad rays render garbage that is
+        # cropped on the way out)
+        need = mesh.shape["data"] * tile_rays
+        block = -(-block // need) * need
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
 
@@ -244,14 +251,44 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
     blocks = RayBundle(*[
         None if f is None else f.reshape(n_blocks, block, *f.shape[1:])
         for f in padded])
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        blocks = RayBundle(*[
-            None if f is None else jax.device_put(
-                f, NamedSharding(mesh, P(None, "data")))
-            for f in blocks])
-        keys = jax.device_put(keys, NamedSharding(mesh, P()))
-    result = jax.lax.map(one_block, (keys, blocks))
+    if mesh is not None and tile_rays is not None:
+        # tiled point fns contain a pallas_call, which GSPMD cannot
+        # partition — shard each block's rays explicitly with shard_map
+        # over the data axis instead. Preconditions (the caller gates on
+        # them, experiment.eval_tile_cfg): whole image tiles per shard
+        # and deterministic sampling (perturb off / no noise), so the
+        # per-shard math is identical to the unsharded run's.
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        assert not rcfg.perturb and rcfg.radiance_field_noise_std == 0.0, \
+            "mesh-sharded tiled eval requires deterministic sampling"
+
+        def one_block_sharded(blk_key, blk):
+            out = render_rays(point_fn_coarse, point_fn_fine, blk,
+                              blk_key, rcfg)
+            aux = {k: jax.lax.pmax(v, "data")
+                   for k, v in (out.aux or {}).items()} or None
+            return RenderResult(out.coarse, out.fine, aux)
+
+        # pytree-PREFIX specs: P("data") applies to every per-ray leaf
+        # of the coarse/fine outputs; aux scalars are replicated (pmax'd
+        # inside the body)
+        sharded = shard_map(
+            one_block_sharded, mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=RenderResult(P("data"), P("data"), P()),
+            check_vma=False)
+        result = jax.lax.map(lambda args: sharded(args[0], args[1]),
+                             (keys, blocks))
+    else:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            blocks = RayBundle(*[
+                None if f is None else jax.device_put(
+                    f, NamedSharding(mesh, P(None, "data")))
+                for f in blocks])
+            keys = jax.device_put(keys, NamedSharding(mesh, P()))
+        result = jax.lax.map(one_block, (keys, blocks))
 
     def unblock(t):
         return None if t is None else jax.tree.map(
@@ -311,6 +348,9 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
         # were nearest-cell clamped; render_rays max-reduces it into
         # RenderResult.aux so callers can detect and fall back
         point_fn.has_aux = True
+        # the coherence contract for mesh-sharded eval: ray shards must
+        # keep whole tiles (render_rays_chunked's shard_map branch)
+        point_fn.tile_rays = tile_cfg.tile_rays
         return point_fn
 
     def point_fn(pts, rays, z_vals):

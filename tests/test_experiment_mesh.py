@@ -65,6 +65,38 @@ def test_data_plus_model_parallel_runs(corpus):
     np.testing.assert_allclose(img_tp, img_ref, rtol=1e-3, atol=1e-4)
 
 
+def test_tiled_eval_composes_with_mesh(corpus):
+    """VERDICT r2 #8: the Pallas tiled eval path composes with data
+    sharding — tile-major ray order sharded over the mesh's data axis
+    (render_rays_chunked's shard_map branch) renders the SAME image as
+    the unsharded tiled run and the XLA gather path."""
+    def render(logdir, data_parallel, tiled):
+        cfg = _mini_cfg(corpus, logdir=logdir,
+                        train_groups={"4,8,8": ["lego"]}, sr=False,
+                        what=("LR_planes", "decoder"), iters=2)
+        if data_parallel:
+            cfg.experiment["data_parallel"] = True
+        cfg.nerf.validation["tiled_gather"] = tiled
+        cfg.nerf.validation["tile_shape"] = "4x4"
+        exp = Experiment(cfg, root_path=str(corpus))
+        exp.planes_buffer.draw_scenes()
+        exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+        scene = exp.evaluation_sequences[0]
+        if tiled:
+            assert exp.eval_tile_cfg(scene) is not None, \
+                "tiled eval should qualify on this mesh/config"
+        out, _ = exp.render_eval_image(scene, exp.i_val[scene][0])
+        return np.asarray(out.fine.rgb if out.fine is not None
+                          else out.coarse.rgb)
+
+    img_tiled = render("logs/mt_ref", False, True)
+    img_mesh = render("logs/mt_dp", True, True)
+    img_xla = render("logs/mt_xla", False, False)
+    assert np.isfinite(img_mesh).all()
+    np.testing.assert_allclose(img_mesh, img_tiled, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(img_mesh, img_xla, rtol=1e-2, atol=5e-3)
+
+
 def test_scene_sharded_device_pool(corpus, tmp_path_factory):
     """store_planes.device_pool: 8 scenes' planes resident on distinct
     devices of the mesh, training + eval still correct."""
