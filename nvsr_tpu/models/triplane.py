@@ -338,12 +338,23 @@ def sample_planes(planes_pos, grids, cfg: TriplaneConfig):
     )(planes_pos, grids)
 
 
-def sample_viewdir_plane(plane_view, viewdirs, box, cfg: TriplaneConfig):
+def sample_viewdir_plane(plane_view, viewdirs, box, cfg: TriplaneConfig,
+                         dense: bool = False):
     """Unit viewdirs [N,3] -> view-plane features [N,Cv]
     (cart2az_el + az/el box normalization + plane sample;
-    reference models.py:312-326,383)."""
+    reference models.py:312-326,383).
+
+    dense=True (tiled eval path): sample via ONE hat-weight matmul
+    against the whole small view plane (grid_sample.
+    dense_bilinear_sample) instead of per-row gathers — bf16 weights,
+    same precision class as the tiled gather."""
     azel = cart2az_el(viewdirs)
     azel_n = normalize_coords(azel, box[:, 3:])
+    if (dense and cfg.plane_interp == "bilinear"
+            and plane_view.shape[-2] * plane_view.shape[-1] <= 4096):
+        from nvsr_tpu.ops.grid_sample import dense_bilinear_sample
+        return dense_bilinear_sample(plane_view, azel_n,
+                                     align_corners=cfg.align_corners)
     if cfg.plane_interp == "bilinear":
         # packed 2x2-tap table: ONE row gather per direction instead of
         # four (same fast path as the positional planes; at 640k rays x
@@ -634,7 +645,8 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
     r, s = z_vals.shape
     vp_ray = None
     if cfg.use_viewdirs:
-        vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
+        vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg,
+                                      dense=not trainable)
     out, overflow = _apply_triplane_rays_tiled(
         params, cfg, planes_pos, box, None, vp_ray, r, s, member=member,
         noise_key=noise_key, rot_mats=rot_mats, tile_cfg=tile_cfg,

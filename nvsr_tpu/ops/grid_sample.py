@@ -206,6 +206,38 @@ def packed_bilinear_sample(packed, height: int, width: int, channels: int,
     return out.reshape(*lead, c)
 
 
+def dense_bilinear_sample(plane, grid, align_corners: bool = True,
+                          compute_dtype=jnp.bfloat16):
+    """Small-plane bilinear sampling as ONE dense hat-weight matmul.
+
+    plane [C, H, W], grid [..., 2] (x, y) in [-1, 1] -> [..., C].
+    Border-clamped bilinear (reference grid_sample semantics,
+    models.py:383 view-plane sample) expressed as
+        out[n] = (hat_y[n] x hat_x[n]) @ cells        [N, HW] @ [HW, C]
+    with hat(u) = relu(1 - |u|) carrying both taps per axis. XLA's
+    per-row gather engine costs ~16 ns/row regardless of table size
+    (PERF.md), so for SMALL planes — the 32^2 view plane sampled once
+    per ray per pass, ~21 ms/frame at 800^2 — the dense matmul
+    (~63 GFLOP/frame, ~2 ms) wins outright. Weights and taps compute in
+    `compute_dtype` (bf16: same precision class as the tiled eval
+    path's gather); accumulation is f32.
+    """
+    C, H, W = plane.shape
+    lead = grid.shape[:-1]
+    g = grid.reshape(-1, 2)
+    x = jnp.clip(_unnormalize(g[:, 0], W, align_corners), 0.0, W - 1.0)
+    y = jnp.clip(_unnormalize(g[:, 1], H, align_corners), 0.0, H - 1.0)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        jnp.arange(H, dtype=y.dtype)[None, :] - y[:, None]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        jnp.arange(W, dtype=x.dtype)[None, :] - x[:, None]))
+    w = (wy[:, :, None] * wx[:, None, :]).reshape(-1, H * W)
+    cells = plane.transpose(1, 2, 0).reshape(H * W, C)
+    out = jnp.matmul(w.astype(compute_dtype), cells.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(*lead, C)
+
+
 def multi_plane_sample_packed(planes, grids, align_corners: bool = True,
                               table_dtype=None):
     """[P,C,H,W] planes at [P,N,2] grids -> [P,N,C] via packed gathers."""

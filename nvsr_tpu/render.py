@@ -305,7 +305,8 @@ def render_rays_chunked(point_fn_coarse, point_fn_fine, rays: RayBundle,
 def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                            member: int = 0, noise_key=None,
                            plane_resolution=None, rot_mats=None,
-                           tile_cfg=None, tile_train=False) -> PointFn:
+                           tile_cfg=None, tile_train=False,
+                           tile_tables=None) -> PointFn:
     """Triplane decoder point function (identity encoding; reference
     wires encode_* to identity for the planes model,
     train_nerf.py:312-314).
@@ -331,8 +332,10 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                 "tile_cfg without tile_train is an eval-only fast "
                 "path; it does not support point_coords_noise "
                 "(noise_key/plane_resolution)")
-            from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
-            tile_tables = build_pair_tables(planes_pos, tile_cfg)
+            if tile_tables is None:
+                from nvsr_tpu.ops.pallas.tile_sampler import \
+                    build_pair_tables
+                tile_tables = build_pair_tables(planes_pos, tile_cfg)
 
         def point_fn(pts, rays, z_vals):
             return apply_triplane_rays_from_z(

@@ -144,3 +144,25 @@ def test_packed_bilinear_gradients(rng):
     g_packed = jax.grad(loss_packed)(plane)
     np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dense_bilinear_matches_grid_sample(rng):
+    """The small-plane dense hat-matmul sampler (the tiled eval path's
+    view-plane sample) matches the generic bilinear sampler to bf16
+    weight/tap precision, border clamping included."""
+    from nvsr_tpu.ops.grid_sample import dense_bilinear_sample
+
+    plane = rng.standard_normal((7, 16, 32)).astype(np.float32)
+    grid = rng.uniform(-1.7, 1.7, size=(257, 2)).astype(np.float32)
+    for ac in (True, False):
+        ref = grid_sample_2d(jnp.asarray(plane), jnp.asarray(grid),
+                             mode="bilinear", align_corners=ac)
+        got = dense_bilinear_sample(jnp.asarray(plane), jnp.asarray(grid),
+                                    align_corners=ac)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+        exact = dense_bilinear_sample(jnp.asarray(plane),
+                                      jnp.asarray(grid), align_corners=ac,
+                                      compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)

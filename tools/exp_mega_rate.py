@@ -229,6 +229,8 @@ def main():
     B = int(os.environ.get("B", 512))
     NC = 1024 if quick else 4096      # rows/call = NC*B*3 = 6.3M full
     NC = NC * 512 // B                # constant points/call across B
+    NC = int(os.environ.get("NC", NC))  # e.g. 256 = the in-context
+    #                                     per-lax.map-block call size
     group = int(os.environ.get("GROUP", 9))
     th = int(os.environ.get("TH", 24))
     tw = int(os.environ.get("TW", 18))
@@ -250,6 +252,34 @@ def main():
     ft_c = ft[:nsteps * group * B]
     view_c = view[:nsteps * group * B]
     rows = nsteps * group * B * 3
+    # CALLS=k: split the workload into k SLICED pallas calls chained
+    # inside ONE jit (per-call fixed costs preserved, the ~5 ms tunnel
+    # floor amortized) — measures the in-context per-lax.map-block call
+    # size without the floor poisoning small calls.
+    calls = int(os.environ.get("CALLS", 1))
+    if calls > 1:
+        assert nsteps % calls == 0
+        sub = nsteps // calls
+
+        @jax.jit
+        def chained(orgs, ft_c, view_c):
+            outs = []
+            for c in range(calls):
+                o = jax.lax.dynamic_slice_in_dim(orgs, c * sub, sub + 1, 0)
+                f = jax.lax.dynamic_slice_in_dim(
+                    ft_c, c * sub * group * B, sub * group * B, 0)
+                v = jax.lax.dynamic_slice_in_dim(
+                    view_c, c * sub * group * B, sub * group * B, 0)
+                outs.append(variant_call(
+                    table, o, f, v, wpack, bpack, th=th, tw=tw,
+                    group=group, B=B, cfg=cfg, plan_info=plan_info,
+                    mode=modes[0]))
+            return jnp.concatenate(outs)
+
+        t = timeit(lambda: chained(orgs, ft_c, view_c))
+        print(f"chained x{calls} (NC/call={NC // calls}) {t * 1e3:7.2f} ms"
+              f"  {rows / t / 1e6:6.0f}M rows/s", flush=True)
+        return
     for mode in modes:
         t = timeit(lambda m=mode: variant_call(
             table, orgs, ft_c, view_c, wpack, bpack, th=th,

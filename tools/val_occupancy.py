@@ -67,8 +67,13 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16", field="blob"):
     cfg.dataset["dir"]["train"] = {scene_key: [field]}
     cfg.nerf.train["num_random_rays"] = 1024
     samples = {"A": 64, "B": 32, "C": 32, "D": 16, "E": 16,
-               "T": 16, "U": 16, "V": 16}[variant]
-    occupancy = variant in ("B", "D", "T", "U", "V")
+               "T": 16, "U": 16, "V": 16,
+               # G: asymmetric 8 coarse + 16 fine with occupancy — the
+               # round-3 budget candidate (coarse exists only to place
+               # fine samples; with tightened [near, far] 8 strata
+               # still localize the surface)
+               "G": (8, 16)}[variant]
+    occupancy = variant in ("B", "D", "T", "U", "V", "G")
     if variant in ("U", "V"):
         # U/V: flagship-width decoders (128, 4+4 layers, skip 3) so the
         # FUSED decoder kernel engages on the tiled eval path; U evals
@@ -96,9 +101,10 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16", field="blob"):
     # synthetic scenes).
     for mode in ("train", "validation"):
         cfg.nerf[mode]["white_background"] = True
+    nc, nf = samples if isinstance(samples, tuple) else (samples, samples)
     for mode in ("train", "validation"):
-        cfg.nerf[mode]["num_coarse"] = samples
-        cfg.nerf[mode]["num_fine"] = samples
+        cfg.nerf[mode]["num_coarse"] = nc
+        cfg.nerf[mode]["num_fine"] = nf
     if occupancy:
         cfg.nerf.train["occupancy"] = {
             "enabled": True, "warmup_iters": 300, "update_every": 250}
