@@ -515,9 +515,14 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 
     slot = i % 2
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
+    # gather per chunk, but decode ONCE per grid step on the stacked
+    # [group*B, .] features: the kernel is matmul-ISSUE bound, not FLOP
+    # bound (rates flat in T/C, PERF.md) — hoisting the decoder across
+    # the group replaces group x ~13 M=B matmuls with ~13 M=group*B
+    # matmuls per step (A/B'd as "batchdec" in tools/exp_mega_rate.py)
+    rows_p = [[], [], []]
     for g in range(group):
-        feats = []
-        for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
+        for p, fr in enumerate((f0, f1, f2)):
             fidx = fr[pl.ds(g * B, B), :]                # [B, 1]
             w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
                             ).astype(jnp.bfloat16)
@@ -525,13 +530,14 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
             # bf16 tap pairs: same declared semantics as the standalone
             # tile sampler (_tile_gather returns bf16 rows); halves the
             # [B, 128] gather-output VMEM traffic
-            rows = jnp.dot(w, region[slot, g, p].reshape(T, LANES),
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.bfloat16)
-            feats.append(lerp_pair(rows, tr_[pl.ds(g * B, B), :]))
-        fv = view_ref[pl.ds(g * B, B), :].astype(jnp.float32)
-        head = decode_body(feats, fv, wref, bref, cfg, plan_info)
-        out_ref[pl.ds(g * B, B), :] = head[:, :OUT_LANES]
+            rows_p[p].append(jnp.dot(
+                w, region[slot, g, p].reshape(T, LANES),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    feats = [lerp_pair(jnp.concatenate(rows_p[p], axis=0), tr_[:])
+             for p, tr_ in enumerate((t0, t1, t2))]
+    fv = view_ref[:].astype(jnp.float32)
+    head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+    out_ref[:] = head[:, :OUT_LANES]
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",

@@ -78,6 +78,46 @@ def variant_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
     def dma_g(g):
         return (g // 2) * 2 if share else g
 
+    if mode == "batchdec":
+        # hoist the decoder ACROSS the group: gathers+lerp per chunk as
+        # usual, but ONE decode_body per grid step on the stacked
+        # [group*B, .] features — 13 matmuls at M=group*B instead of
+        # group x 13 at M=B (the kernel is matmul-issue bound, not
+        # FLOP bound)
+        slot_ = i % 2
+        if mode != "nodma":
+            @pl.when(i == 0)
+            def _():
+                for g in range(group):
+                    for p in range(3):
+                        dma(0, org_cur, g, p).start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                for g in range(group):
+                    for p in range(3):
+                        dma((i + 1) % 2, org_nxt, g, p).start()
+        cols_ = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1
+                                         ).astype(jnp.float32)
+        rows_p = [[], [], []]
+        for g in range(group):
+            ft = ft_ref[pl.ds(g * B, B), :]
+            for p in range(3):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(cols_ - ft[:, p:p + 1])
+                                ).astype(jnp.bfloat16)
+                dma(slot_, org_cur, g, p).wait()
+                rows_p[p].append(jnp.dot(
+                    w, region[slot_, g, p].reshape(T, LANES),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16))
+        ft_all = ft_ref[:]
+        feats = [lerp_pair(jnp.concatenate(rows_p[p], axis=0),
+                           ft_all[:, 4 + p:5 + p]) for p in range(3)]
+        fv = view_ref[:].astype(jnp.float32)
+        head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+        out_ref[:] = head[:, :OUT_LANES]
+        return
+
     if mode != "nodma":
         @pl.when(i == 0)
         def _():
