@@ -153,10 +153,18 @@ def train_step(decoder_coarse, decoder_fine, sr_params, plane_params, box,
             dc, model_cfg, coarse_planes, plane_view, box,
             member=flags.member, noise_key=nk_c,
             plane_resolution=flags.plane_resolution, **tiled)
+        # the FINE pass keeps the exact XLA gather even when tile_cfg is
+        # set: its z comes from the per-ray inverse-CDF resample, so
+        # rank-i samples of neighboring rays land at unrelated depths on
+        # an unconverged field — measured 99-100% region overflow (i.e.
+        # a clamped, wrong forward) at production training configs
+        # (tools/exp_train_budget.py lr_tiled8/lr_occ16_t8). The coarse
+        # pass's stratified bins ARE rank-aligned across a tile, so it
+        # rides the trainable tile sampler safely.
         pf_fine = make_triplane_point_fn(
             df, model_cfg, fine_planes, plane_view, box,
             member=flags.member, noise_key=nk_f,
-            plane_resolution=flags.plane_resolution, **tiled)
+            plane_resolution=flags.plane_resolution)
         out = render_rays(pf_coarse, pf_fine, rays, k_render, rcfg)
 
         rgb_coarse = out.coarse.rgb

@@ -85,6 +85,11 @@ def main():
             # cover — matches production training, unlike a tiling of
             # the 64x64 debug ray map (whose 16x16 tiles span a quarter
             # of the image and overflow every region).
+            # NOTE: since the coarse-only fix (train.py), tile_cfg tiles
+            # the COARSE pass only — the fine pass's inverse-CDF z ranks
+            # misalign across rays on unconverged fields (99-100% region
+            # overflow measured here at every tiled variant), so it
+            # keeps the exact XLA gather.
             from nvsr_tpu.ops.geometry import get_rays_at
             from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
             from nvsr_tpu.render import make_ray_bundle as _mrb
