@@ -157,6 +157,56 @@ def test_experiment_tiled_eval_matches(tmp_path):
     assert np.abs(b - a).mean() < 5e-3
 
 
+def test_render_image_tiled_pad_non_multiple(rng):
+    """render_image(tile=8) at an image size that is NOT a tile multiple
+    (the LLFF case, e.g. 378x504) edge-pads to the tile grid, renders
+    through the Pallas tile sampler, crops on the way out, and matches
+    the untiled XLA path (VERDICT r2 #2 done-criteria)."""
+    import jax
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import (RenderConfig, make_triplane_point_fn,
+                                 render_image)
+
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3, compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.1 * rng.standard_normal(
+            (3, cfg.num_plane_channels, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.1 * rng.standard_normal(
+            (cfg.viewdir_channels, 16, 16)).astype(np.float32))
+    box = np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                    [4, 4, 4, np.pi, np.pi / 2]]).astype(np.float32)
+    H, W = 20, 28                       # neither divisible by 8
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 3.5
+    ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3), jnp.asarray(c2w))
+    rcfg = RenderConfig(num_coarse=8, num_fine=8, perturb=False,
+                        radiance_field_noise_std=0.0, ray_block=512)
+    tile_cfg = TileSamplerConfig(tile_rays=64)
+
+    pf_c = make_triplane_point_fn(params, cfg, planes, plane_view, box,
+                                  tile_cfg=tile_cfg)
+    pf_f = make_triplane_point_fn(params, cfg, planes, plane_view, box,
+                                  tile_cfg=tile_cfg)
+    out_t = render_image(pf_c, pf_f, ro, rd, jax.random.PRNGKey(1), rcfg,
+                         near=2.0, far=6.0, tile=8)
+    pf_c2 = make_triplane_point_fn(params, cfg, planes, plane_view, box)
+    pf_f2 = make_triplane_point_fn(params, cfg, planes, plane_view, box)
+    out_x = render_image(pf_c2, pf_f2, ro, rd, jax.random.PRNGKey(1), rcfg,
+                         near=2.0, far=6.0)
+    a = np.asarray(out_x.fine.rgb)
+    b = np.asarray(out_t.fine.rgb)
+    assert a.shape == b.shape == (H, W, 3)
+    assert float(out_t.aux["overflow_frac"]) == 0.0
+    np.testing.assert_allclose(b, a, atol=5e-2, rtol=0)
+    assert np.abs(b - a).mean() < 5e-3
+
+
 def test_fused_decoder_matches_decode_projections(rng):
     """ops/pallas/fused_decoder == decode_projections (bf16 compute) on
     raw tap pairs, including the y-lerp."""
