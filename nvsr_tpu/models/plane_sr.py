@@ -96,6 +96,12 @@ class PlaneSRConfig:
     # full-plane path stops fitting HBM beyond ~800^2 LR planes at
     # production widths (PERF.md).
     tile_size: int = None
+    # rematerialize each residual block in the backward (saves HBM at
+    # +1 recomputed forward per block ~= +33% training conv FLOPs).
+    # bf16 NHWC sequential-per-plane training may fit without it at
+    # TrainModels dims — set False to trade memory back for speed
+    # (config key super_resolution.model.remat)
+    remat: bool = True
 
     @property
     def required_padding(self) -> int:
@@ -142,6 +148,7 @@ class PlaneSRConfig:
             no_batch_norm=model.get("no_batch_norm", False),
             compute_dtype=model.get("compute_dtype", None),
             tile_size=model.get("tile_size", None),
+            remat=model.get("remat", True),
         )
 
 
@@ -266,7 +273,6 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     # (256ch x 32 blocks over a padded 336^2 plane) storing every conv
     # activation for the backward needs >8 GB — recomputing a block's
     # two convs in the backward trades ~2x SR FLOPs for fitting HBM.
-    @jax.checkpoint
     def block(blk, h):
         k_sz = blk["conv1"]["w"].shape[-1]
         if k_sz == 1:
@@ -277,6 +283,9 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
         y = _conv(blk["conv2"], jax.nn.relu(
             _conv(blk["conv1"], h, compute_dtype=cd)), compute_dtype=cd)
         return identity + 0.1 * y
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
 
     for blk in params["blocks"]:
         h = block(blk, h)
