@@ -929,8 +929,10 @@ class Experiment:
 
     def eval_tile_cfg(self, scene_id: str):
         """TileSamplerConfig for eval renders when the geometry
-        qualifies (bilinear planes model, <= 64 plane channels,
-        unsharded); None otherwise. The locality-bucketed Pallas
+        qualifies (bilinear/bicubic planes model, <= 64 plane channels,
+        unsharded); None otherwise. Bicubic rides the non-fused tiled
+        sampler (two pair tables + cubic gather weights); bilinear the
+        full megakernel. The locality-bucketed Pallas
         sampler is the DEFAULT eval path on TPU hardware
         (ops/pallas/tile_sampler.py) — opt out with
         nerf.validation.tiled_gather: false. Numerics match the XLA
@@ -947,7 +949,8 @@ class Experiment:
         if not enabled:
             return None
         if (not self.planes_model
-                or self.model_cfg.plane_interp != "bilinear"
+                or self.model_cfg.plane_interp not in ("bilinear",
+                                                       "bicubic")
                 or self.model_cfg.num_plane_channels > HALF):
             return None
         th, tw = self.eval_tile_shape()

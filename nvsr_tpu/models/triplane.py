@@ -505,9 +505,12 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     fixed [th, tw] region capacity. Without this, the 16+16 bench
     configuration silently clamped 67% of fine-pass chunks on the
     800^2 planes (measured; PERF.md round 2)."""
-    assert cfg.plane_interp == "bilinear", "tiled sampler is bilinear"
+    assert cfg.plane_interp in ("bilinear", "bicubic"), cfg.plane_interp
     assert trainable or noise_key is None, \
         "point_coords_noise requires the trainable tiled path"
+    assert not (trainable and cfg.plane_interp == "bicubic"), \
+        "the trainable tiled sampler is bilinear-only (the reference " \
+        "trains planes with bilinear interp; bicubic rides the XLA path)"
     from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
     slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
     # large ray tiles shorten the slab so chunks stay at the
@@ -527,10 +530,13 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     # stay valid — regions only shrink, and oy's clip uses the table's
     # build-time Hp.
     from nvsr_tpu.ops.pallas.tile_sampler import choose_region_dims
-    th_, tw_ = choose_region_dims(s, planes_pos.shape[-1], slab,
-                                  tile_cfg.tile_rays, tile_cfg)
-    if (th_, tw_) != (tile_cfg.th, tile_cfg.tw):
-        tile_cfg = dataclasses.replace(tile_cfg, th=th_, tw=tw_)
+    if cfg.plane_interp == "bilinear":
+        # (the envelopes are measured for 2-tap footprints; bicubic
+        # needs +3 x-cells and keeps the full config regions)
+        th_, tw_ = choose_region_dims(s, planes_pos.shape[-1], slab,
+                                      tile_cfg.tile_rays, tile_cfg)
+        if (th_, tw_) != (tile_cfg.th, tile_cfg.tw):
+            tile_cfg = dataclasses.replace(tile_cfg, th=th_, tw=tw_)
     from nvsr_tpu.ops.pallas import fused_decoder
     from nvsr_tpu.ops.pallas.tile_sampler import (
         from_chunks, to_chunks, tiled_plane_sample_prechunked)
@@ -541,6 +547,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     interpret = jax.default_backend() == "cpu"
     n_pts = r * s
     fused_ok = (not trainable
+                and cfg.plane_interp == "bilinear"
                 and fused_decoder.supports(cfg) and vp_ray is not None
                 and planes_pos.shape[0] == 3
                 and tile_cfg.tile_rays * slab <= 512)
@@ -613,6 +620,13 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         pos_projs, overflow = tiled_plane_sample_trainable(
             planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
             cfg.align_corners, interpret)
+    elif cfg.plane_interp == "bicubic":
+        from nvsr_tpu.ops.pallas.tile_sampler import \
+            tiled_plane_sample_prechunked_bicubic
+        pos_projs, overflow = tiled_plane_sample_prechunked_bicubic(
+            planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,
+            align_corners=cfg.align_corners, interpret=interpret,
+            tables=tile_tables)
     else:
         pos_projs, overflow = tiled_plane_sample_prechunked(
             planes_pos, grids.reshape(p, nt * ns, tr * sl, 2), tile_cfg,

@@ -171,8 +171,29 @@ def _unnormalize(coord, size: int, align_corners: bool):
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
+def _cubic_weight(d, A: float = -0.75):
+    """Torch's cubic convolution kernel over signed tap distance d
+    (nonzero for |d| < 2; ops/grid_sample.py::_cubic_coeffs evaluated
+    pointwise). Vectorized for the in-kernel [B, T] weight build."""
+    ad = jnp.abs(d)
+    w_near = ((A + 2.0) * ad - (A + 3.0)) * ad * ad + 1.0
+    w_far = ((A * ad - 5.0 * A) * ad + 8.0 * A) * ad - 4.0 * A
+    return jnp.where(ad <= 1.0, w_near,
+                     jnp.where(ad < 2.0, w_far, 0.0))
+
+
+def _gather_weights(cols, fidx, kernel: str):
+    """[B, T] MXU select weights from local flat coords: 'linear' = the
+    2-tap bilinear hat; 'cubic' = the 4-tap cubic convolution window
+    (x taps of torch bicubic; the y taps ride the A/B pair tables)."""
+    if kernel == "cubic":
+        return _cubic_weight(cols - fidx).astype(jnp.bfloat16)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
+                       ).astype(jnp.bfloat16)
+
+
 def _kernel(org_cur, org_nxt, fidx_ref, table_ref, out_ref, region, sem, *,
-            th, tw, group, B):
+            th, tw, group, B, kernel="linear"):
     T = th * tw
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -199,7 +220,7 @@ def _kernel(org_cur, org_nxt, fidx_ref, table_ref, out_ref, region, sem, *,
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
     for g in range(group):
         fidx = fidx_ref[pl.ds(g * B, B), :1]
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)).astype(jnp.bfloat16)
+        w = _gather_weights(cols, fidx, kernel)
         dma(slot, org_cur, g).wait()
         flat = region[slot, g].reshape(T, LANES)
         out_ref[pl.ds(g * B, B), :] = jnp.dot(
@@ -208,9 +229,10 @@ def _kernel(org_cur, org_nxt, fidx_ref, table_ref, out_ref, region, sem, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("th", "tw", "group", "B", "interpret"))
+                   static_argnames=("th", "tw", "group", "B", "kernel",
+                                    "interpret"))
 def _tile_gather(table, oy, ox, fidx, *, th, tw, group, B,
-                 interpret=False):
+                 kernel="linear", interpret=False):
     """table [Ht, Wt*128] bf16; oy [nchunks] (global table rows, aligned),
     ox [nchunks] (cells); fidx [nchunks*B, 1] f32 local flat coords
     -> [nchunks*B, 128] bf16 x-interpolated vertical tap pairs.
@@ -227,7 +249,8 @@ def _tile_gather(table, oy, ox, fidx, *, th, tw, group, B,
     org = jnp.stack([oy, ox], axis=-1).reshape(nsteps, group, 2)
     org = jnp.concatenate([org, org[-1:]], axis=0)   # pad the i+1 view
     return pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw, group=group, B=B),
+        functools.partial(_kernel, th=th, tw=tw, group=group, B=B,
+                          kernel=kernel),
         out_shape=jax.ShapeDtypeStruct((nchunks * B, LANES), jnp.bfloat16),
         grid=(nsteps,),
         in_specs=[
@@ -266,6 +289,136 @@ def from_chunks(x, ntiles, tile_rays, nslabs, slab):
     x = x.reshape(*lead, ntiles, nslabs, tile_rays, slab, D)
     x = jnp.moveaxis(x, -3, -4)
     return x.reshape(*lead, ntiles * tile_rays, nslabs * slab, D)
+
+
+def build_pair_tables_bicubic(planes, config: TileSamplerConfig):
+    """[P, C, H, W] planes -> stacked A/B vertical-pair tables for the
+    bicubic tiled sampler.
+
+    Torch bicubic (reference models.py:303-309 with plane_interp
+    'bicubic'; ops/grid_sample.py::_bicubic is the torch-oracled XLA
+    form) reads a 4x4 tap window around (x0, y0) = floor of the
+    UNCLIPPED source coordinate, clamping tap indices to the plane
+    ('border'). Layout here:
+      * columns: table col c holds plane col clip(c - 2, 0, W-1) —
+        2 replicated columns on the left (x taps reach x0-1 >= -2 once
+        the source x is clipped to [-1, W], which is exact: outside
+        that every tap clamps and the cubic weights sum to 1) and
+        3 + tw on the right.
+      * rows: base row r (r = y0 + 1, y0 in [-1, H]) holds, in the
+        A table, plane rows (clip(y0), clip(y0+1)) in lane halves —
+        exactly build_pair_tables shifted by one replicated row — and
+        in the B table rows (clip(y0-1), clip(y0+2)): the outer y taps.
+      * the B table is stacked BELOW the A table: one [2*P*Hp, Wp*128]
+        bf16 array, so one kernel call serves both with plain row
+        origins (B origins = A origins + P*Hp).
+    Returns (table, Hp, Wp).
+    """
+    P, C, H, W = planes.shape
+    assert C <= HALF, f"tile sampler supports <= {HALF} channels, got {C}"
+    Hp = max(_round_up(H + 2, YALIGN), config.th)
+    Wp = W + 5 + config.tw
+    x = jnp.pad(planes, ((0, 0), (0, HALF - C), (0, 0), (0, 0)))
+    # row-padded stack: q holds plane row clip(q - 2, 0, H - 1)
+    ypad = jnp.concatenate([x[:, :, :1]] * 2 + [x] + [x[:, :, -1:]] * 3,
+                           axis=2)                       # [P, 128?, H+5, W]
+
+    def rows(q0):     # base rows r in [0, H+2) -> plane rows r + q0 - 2
+        return ypad[:, :, q0:q0 + H + 2]
+
+    a_cells = jnp.concatenate([rows(1), rows(2)], axis=1)   # (y0, y0+1)
+    b_cells = jnp.concatenate([rows(0), rows(3)], axis=1)   # (y0-1, y0+2)
+
+    def finish(cells):
+        cells = cells.transpose(0, 2, 3, 1)              # [P, H+2, W, 128]
+        cells = jnp.pad(cells, ((0, 0), (0, Hp - (H + 2)), (2, 3 + config.tw),
+                                (0, 0)), mode="edge")
+        return cells.reshape(P * Hp, Wp * LANES)
+
+    table = jnp.concatenate([finish(a_cells), finish(b_cells)], axis=0)
+    return table.astype(jnp.bfloat16), Hp, Wp
+
+
+def _cubic_coeffs4(t, A: float = -0.75):
+    """(w_{-1}, w_0, w_1, w_2) tap weights from the fractional offset t
+    (== ops/grid_sample.py::_cubic_coeffs)."""
+    return (_cubic_weight(-1.0 - t, A), _cubic_weight(-t, A),
+            _cubic_weight(1.0 - t, A), _cubic_weight(2.0 - t, A))
+
+
+def tiled_plane_sample_prechunked_bicubic(
+        planes, g_c, config: TileSamplerConfig, align_corners: bool = True,
+        interpret: bool = False, tables=None):
+    """Bicubic tiled sampler on chunk-ordered grids (eval-only).
+
+    planes [P, C, H, W]; g_c [P, NC, B, 2] chunk-ordered normalized
+    grids -> ([P, NC*B, C] f32 chunk-major features, overflow_frac).
+    The x interpolation runs as a 4-tap cubic MXU matmul against the
+    region (kernel='cubic'); the 4 y taps come from the stacked A/B
+    pair tables, combined by a cubic epilogue. Matches
+    grid_sample_2d(..., 'bicubic', border) to bf16 tap/weight
+    precision. ~2x the bilinear tiled cost (two regions + two matmuls
+    per chunk-plane) — still far under the 16-gathers/point XLA path.
+    """
+    P, C, H, W = planes.shape
+    _, NC, B, _ = g_c.shape
+    th, tw = config.th, config.tw
+
+    table, Hp, Wp = tables if tables is not None \
+        else build_pair_tables_bicubic(planes, config)
+
+    # UNCLIPPED source coords, then clip to [-1, size]: exact for torch
+    # border semantics (see build_pair_tables_bicubic docstring)
+    xs = jnp.clip(_unnormalize(g_c[..., 0], W, align_corners), -1.0,
+                  float(W))
+    ys = jnp.clip(_unnormalize(g_c[..., 1], H, align_corners), -1.0,
+                  float(H))
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    tx = xs - x0
+    ty = ys - y0
+    r = y0.astype(jnp.int32) + 1                       # table base row
+    c0 = x0.astype(jnp.int32) + 1                      # min-tap table col
+
+    rmin, rmax = jnp.min(r, axis=-1), jnp.max(r, axis=-1)
+    cmin, cmax = jnp.min(c0, axis=-1), jnp.max(c0, axis=-1)
+    oy = jnp.clip((rmin // YALIGN) * YALIGN, 0, Hp - th)   # [P, NC]
+    ox = jnp.clip(cmin, 0, Wp - tw)
+    overflow = ((rmax - oy > th - 1) | (cmax + 3 - ox > tw - 1))
+    overflow_frac = jnp.mean(overflow.astype(jnp.float32))
+
+    yl = jnp.clip(r - oy[..., None], 0, th - 1).astype(jnp.float32)
+    # local float x position; taps floor(fx)-1..+2 stay inside the row
+    # for fx in [1, tw-3): clamp (with the overflow report) otherwise
+    fx = jnp.clip(xs + 2.0 - ox[..., None].astype(xs.dtype), 1.0,
+                  tw - 3.0 - 1e-3)
+    fidx = yl * tw + fx                                 # [P, NC, B]
+
+    plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
+    oyA = (oy + plane_row0).reshape(-1)
+    oyB = oyA + P * Hp
+    oy2 = jnp.concatenate([oyA, oyB])
+    ox2 = jnp.tile(ox.reshape(-1), 2)
+    fidx2 = jnp.tile(fidx.reshape(-1, 1), (2, 1))
+
+    nchunks = oy2.shape[0]
+    pad = _round_up(nchunks, config.group) - nchunks
+    if pad:
+        oy2 = jnp.pad(oy2, (0, pad))
+        ox2 = jnp.pad(ox2, (0, pad))
+        fidx2 = jnp.pad(fidx2, ((0, pad * B), (0, 0)))
+
+    rows = _tile_gather(table, oy2, ox2, fidx2, th=th, tw=tw,
+                        group=config.group, B=B, kernel="cubic",
+                        interpret=interpret)
+    n = P * NC * B
+    ra, rb = rows[:n], rows[n:2 * n]
+    wm1, w0, w1, w2 = _cubic_coeffs4(ty.reshape(-1, 1))
+    out = (wm1 * rb[:, :C].astype(jnp.float32)
+           + w0 * ra[:, :C].astype(jnp.float32)
+           + w1 * ra[:, HALF:HALF + C].astype(jnp.float32)
+           + w2 * rb[:, HALF:HALF + C].astype(jnp.float32))
+    return out.reshape(P, NC * B, C), overflow_frac
 
 
 def _grid_chunk_descriptors(g_c, H, W, Hp, config: TileSamplerConfig,
@@ -635,7 +788,12 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave)."""
     import os
-    if os.environ.get("NVSR_MEGA_STUB", "0") == "1":
+    stub = os.environ.get("NVSR_MEGA_STUB", "0")
+    # "1": stub every megakernel call; "fine": stub only calls against
+    # the HR (fine-pass) table — identified by table height, the only
+    # per-call signal at this layer (the flagship fine table is 800^2+,
+    # coarse 200^2-class)
+    if stub == "1" or (stub == "fine" and table.shape[0] > 1500):
         # attribution-only debug knob (BENCH docs): skip the pallas call
         # but keep every producer alive with non-foldable tiny terms, so
         # an in-frame ablation isolates kernel time from wrapper time

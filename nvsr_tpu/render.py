@@ -333,9 +333,12 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                 "path; it does not support point_coords_noise "
                 "(noise_key/plane_resolution)")
             if tile_tables is None:
-                from nvsr_tpu.ops.pallas.tile_sampler import \
-                    build_pair_tables
-                tile_tables = build_pair_tables(planes_pos, tile_cfg)
+                from nvsr_tpu.ops.pallas.tile_sampler import (
+                    build_pair_tables, build_pair_tables_bicubic)
+                build = build_pair_tables_bicubic \
+                    if model_cfg.plane_interp == "bicubic" \
+                    else build_pair_tables
+                tile_tables = build(planes_pos, tile_cfg)
 
         def point_fn(pts, rays, z_vals):
             return apply_triplane_rays_from_z(

@@ -88,7 +88,7 @@ def main():
                 rays = tighten_bundle(rays, jnp.asarray(occ))
                 # deterministic eval sampling, coarse 16 + fine 16
                 zc = stratified_z_vals(key, rays.near, rays.far, 16,
-                                       perturb=False)
+                                       lindisp=False, perturb=False)
                 w = jnp.ones((zc.shape[0], 16))  # uniform pdf worst-ish
                 zf = hierarchical_z_vals(key, zc, w, 16, det=True)
                 rows_m, cols_m = chunk_extents(

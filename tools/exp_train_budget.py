@@ -65,7 +65,8 @@ def main():
     target = jnp.full((4096, 3), 0.5)
 
     def run(label, *, sr_hidden=256, sr_blocks=32, samples=64,
-            sr_iter=True, train_planes=True, tile=0, occ=False):
+            sr_iter=True, train_planes=True, tile=0, occ=False,
+            remat=True):
         step_rays = rays
         if occ:
             # occupancy-tightened sampling (the validated production
@@ -113,7 +114,7 @@ def main():
         if sr_iter:
             sr_cfg = PlaneSRConfig(scale_factor=4, hidden_size=sr_hidden,
                                    n_blocks=sr_blocks,
-                                   compute_dtype="bfloat16")
+                                   compute_dtype="bfloat16", remat=remat)
             sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
         rcfg = RenderConfig(num_coarse=samples, num_fine=samples,
                             perturb=True, radiance_field_noise_std=0.2)
@@ -143,6 +144,8 @@ def main():
             run(label, **kw)
 
     maybe("full")
+    maybe("full_noremat", remat=False)
+    maybe("full_occ16_noremat", samples=16, occ=True, remat=False)
     maybe("full_tiled8", tile=8)
     maybe("full_tiled16", tile=16)
     maybe("tiny_sr", sr_hidden=16, sr_blocks=1)
