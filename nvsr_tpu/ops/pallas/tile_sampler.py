@@ -94,6 +94,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _scratch_budget() -> int:
+    """Megakernel double-buffered region scratch budget in MB (caps the
+    per-step region `group`). 6 MB measured best at round-2 shapes;
+    env knob NVSR_MEGA_SCRATCH_MB sweeps it without code edits (VMEM
+    itself is capped by vmem_limit_bytes=100MB on the kernel)."""
+    import os
+    return int(os.environ.get("NVSR_MEGA_SCRATCH_MB", 6))
+
+
 def choose_slab(num_samples: int, plane_res: int,
                 config: TileSamplerConfig) -> int:
     """Depth-slab length that keeps chunk footprints inside the region
@@ -765,7 +774,8 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     # limit outright (measured), so chunks are capped at 512 points.
     assert B <= 512, f"megakernel chunk size {B} exceeds the VMEM budget"
     group = min(config.group,
-                max(1, (6 << 20) // (2 * 3 * th * tw * LANES * 2)))
+                max(1, (_scratch_budget() << 20)
+                    // (2 * 3 * th * tw * LANES * 2)))
 
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
@@ -989,7 +999,8 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
     assert P == 3
     th, tw = config.th, config.tw
     group = min(config.group,
-                max(1, (6 << 20) // (2 * 3 * th * tw * LANES * 2)))
+                max(1, (_scratch_budget() << 20)
+                    // (2 * 3 * th * tw * LANES * 2)))
     table, Hp, Wp = tables if tables is not None \
         else build_pair_tables(planes, config)
     org, fidx, ty, overflow_frac = prepare_ray_chunks(
