@@ -144,6 +144,10 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
     # floor, PERF.md round 2). Values:
     #   "" (off) | zero_pf (skip both model passes) |
     #   zero_fine (skip the fine pass only)
+    # Related attribution/tuning knobs that act inside the kernel layer:
+    #   NVSR_MEGA_STUB=1|fine    stub the megakernel call(s), keeping
+    #                            their producers (kernel vs wrapper)
+    #   NVSR_MEGA_SCRATCH_MB=N   region scratch budget (group size)
     ablate = os.environ.get("BENCH_ABLATE", "")
 
     def _zero_pf(pts, rays_blk, z):

@@ -94,5 +94,17 @@ def tighten_near_far(ray_origins, ray_directions, near, far, aabb):
     new_near = jnp.clip(t_enter, near, far)
     new_far = jnp.clip(t_exit, near, far)
     valid = hit & (new_far > new_near)
-    return (jnp.where(valid, new_near, near),
-            jnp.where(valid, new_far, far))
+    # Rays that MISS the box get a DEGENERATE interval at the clipped
+    # slab midpoint instead of their original bounds: zero-length
+    # sample intervals make every alpha 0 (rendering.py dists), so the
+    # ray composites exactly to background — which is what the
+    # occupancy premise says it renders anyway (no mass outside the
+    # box). The midpoint is continuous across the hit/miss silhouette,
+    # so image TILES mixing hit and miss rays keep rank-aligned sample
+    # depths — without this, silhouette chunks span the whole [near,
+    # far] band on the planes and overflow the tile sampler's regions
+    # (measured: 226-row footprints vs the 17-row envelope,
+    # tools/exp_fine_slab4.py).
+    mid = jnp.clip(0.5 * (t_enter + t_exit), near, far)
+    return (jnp.where(valid, new_near, mid),
+            jnp.where(valid, new_far, mid))

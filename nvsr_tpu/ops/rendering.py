@@ -65,6 +65,14 @@ def volume_render(radiance_field, z_vals, ray_directions, *,
     sigma = jax.nn.relu(sigma_logit)
 
     alpha = 1.0 - jnp.exp(-sigma * dists)
+    # DEGENERATE rays (zero z span) composite to pure background: these
+    # only arise from occupancy tightening's miss rays
+    # (ops/occupancy.py::tighten_near_far), whose premise is that no
+    # render mass lies along them — zeroing alpha also silences the
+    # 1e10 background interval, which would otherwise surface whatever
+    # junk density sits at the collapsed sample point
+    span = z_vals[..., -1] - z_vals[..., 0]
+    alpha = jnp.where(span[..., None] > 0, alpha, 0.0)
     weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)

@@ -39,8 +39,26 @@ def test_tighten_near_far_hit_and_miss():
     n2, f2 = tighten_near_far(ro, rd, near, far, aabb)
     np.testing.assert_allclose(np.asarray(n2[0]), [4.0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(f2[0]), [6.0], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(n2[1]), [2.0])  # miss: unchanged
-    np.testing.assert_allclose(np.asarray(f2[1]), [10.0])
+    # miss: DEGENERATE interval at the clipped slab midpoint (the ray
+    # composites to exact background; see tighten_near_far docstring)
+    assert float(n2[1, 0]) == float(f2[1, 0])
+    assert 2.0 <= float(n2[1, 0]) <= 10.0
+
+
+def test_miss_rays_composite_to_exact_background():
+    """Occupancy-miss rays (degenerate z span) render pure background
+    regardless of the field — the 1e10 tail interval is silenced."""
+    from nvsr_tpu.ops.rendering import volume_render
+    R, S = 4, 8
+    rf = jnp.full((R, S, 4), 5.0)            # junk density + color
+    z_hit = jnp.broadcast_to(jnp.linspace(2.0, 6.0, S), (R, S))
+    z_miss = jnp.full((R, S), 4.2)           # degenerate span
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * R)
+    out_hit = volume_render(rf, z_hit, d, white_background=True)
+    out_miss = volume_render(rf, z_miss, d, white_background=True)
+    assert float(out_hit.acc[0]) > 0.9       # the junk field renders
+    np.testing.assert_allclose(np.asarray(out_miss.acc), 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(out_miss.rgb), 1.0, atol=0)
 
 
 def test_tighten_respects_original_bounds():
