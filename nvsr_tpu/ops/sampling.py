@@ -35,9 +35,19 @@ def stratified_z_vals(key, near, far, num_samples: int, *, lindisp: bool,
     """
     t_vals = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
     if not lindisp:
-        z_vals = near * (1.0 - t_vals) + far * t_vals
+        # near + width*t, NOT near*(1-t) + far*t: the two-product lerp
+        # is non-monotone at the f32 ULP level when near ~= far (each t
+        # rounds differently), and merge_sorted requires sorted inputs
+        # — occupancy's degenerate miss intervals (near == far) hit
+        # this with whole tiles of k-fold-summed merge collisions
+        # (measured, PERF.md round 3). f32 rounding of the monotone
+        # reals near + width*t is monotone; width == 0 gives exactly
+        # constant z. Deviation from the reference lerp form is <= 1
+        # ULP.
+        z_vals = near + (far - near) * t_vals
     else:
-        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+        inv = 1.0 / near + (1.0 / far - 1.0 / near) * t_vals
+        z_vals = 1.0 / inv
     z_vals = jnp.broadcast_to(z_vals, near.shape[:-1] + (num_samples,))
     if perturb:
         mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
