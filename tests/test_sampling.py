@@ -146,6 +146,22 @@ def test_merge_sorted_with_ties():
     np.testing.assert_allclose(out, [[1, 2, 2, 2, 3, 5]])
 
 
+def test_degenerate_interval_z_exactly_constant():
+    """near == far (occupancy miss rays): stratified + hierarchical z
+    must be EXACTLY constant — any ULP non-monotonicity collides the
+    sort-free merge into k-fold-summed values (PERF.md round 3)."""
+    near = jnp.full((8, 1), 3.8631353)
+    far = jnp.full((8, 1), 3.8631353)
+    for perturb in (False, True):
+        zc = stratified_z_vals(jax.random.PRNGKey(0), near, far, 16,
+                               lindisp=False, perturb=perturb)
+        assert (np.asarray(zc) == np.asarray(zc[:, :1])).all()
+        zf = hierarchical_z_vals(jax.random.PRNGKey(1), zc,
+                                 jnp.ones((8, 16)), 16, det=not perturb)
+        z = np.asarray(zf)
+        np.testing.assert_array_equal(z, np.broadcast_to(z[:, :1], z.shape))
+
+
 def test_hierarchical_det_merge_equals_sort(rng):
     """det path: the sort-free merge must equal sort(concat)."""
     z_vals = np.sort(rng.random((5, 9)).astype(np.float32), -1) * 4 + 2
