@@ -133,7 +133,9 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
         # shrink match the trained-chain measurement in PERF.md
         occ_aabb = jnp.asarray([[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]],
                                dtype=jnp.float32)
-        rays = tighten_bundle(rays, occ_aabb)
+        rays = tighten_bundle(rays, occ_aabb,
+                              tile_rays=tile_cfg.tile_rays
+                              if tile_cfg is not None else None)
     rcfg = RenderConfig(num_coarse=num_coarse, num_fine=num_fine,
                         perturb=False, radiance_field_noise_std=0.0,
                         ray_block=ray_block)

@@ -1262,7 +1262,10 @@ class Experiment:
             occ_aabb = self._occ_aabb_for(self.planes_buffer.get(scene_id))
             if occ_aabb is not None:
                 from nvsr_tpu.render import tighten_bundle
-                rays = tighten_bundle(rays, jnp.asarray(occ_aabb))
+                rays = tighten_bundle(
+                    rays, jnp.asarray(occ_aabb),
+                    tile_rays=train_tc.tile_rays if train_tc is not None
+                    else None)
             sr_loss_cfg = cfg.get_path("super_resolution.training.loss",
                                        "fine") if self.sr_experiment \
                 else "both"

@@ -78,9 +78,10 @@ def tighten_near_far(ray_origins, ray_directions, near, far, aabb):
       aabb: [2, 3] world box.
 
     Returns:
-      (near', far') with near <= near' <= far' <= far; rays that miss
-      the box keep their original bounds (they composite to background
-      either way).
+      (near', far', hit) with near <= near' <= far' <= far and hit the
+      [R, 1] bool intersection mask; rays that miss the box get a
+      DEGENERATE interval (near' == far', see below) and composite to
+      exact background (ops/rendering.py zero-span guard).
     """
     eps = 1e-9
     inv = 1.0 / jnp.where(jnp.abs(ray_directions) < eps,
@@ -107,4 +108,4 @@ def tighten_near_far(ray_origins, ray_directions, near, far, aabb):
     # tools/exp_fine_slab4.py).
     mid = jnp.clip(0.5 * (t_enter + t_exit), near, far)
     return (jnp.where(valid, new_near, mid),
-            jnp.where(valid, new_far, mid))
+            jnp.where(valid, new_far, mid), valid)

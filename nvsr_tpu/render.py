@@ -131,12 +131,36 @@ def build_sampled_rays(pose, rows, cols, height, width, focal,
     return RayBundle(ro, rd, near_a, far_a, viewdirs)
 
 
-def tighten_bundle(rays: RayBundle, aabb) -> RayBundle:
+def tighten_bundle(rays: RayBundle, aabb, tile_rays: int = None) -> RayBundle:
     """Tighten a bundle's per-ray [near, far] to the occupied AABB
-    (ops/occupancy.py); static shapes, opt-in sampling improvement."""
+    (ops/occupancy.py); static shapes, opt-in sampling improvement.
+
+    tile_rays: when the bundle is TILE-ordered (the Pallas tiled
+    sampler's coherence contract), pass the tile size to tighten to the
+    per-TILE UNION of the hit rays' intervals instead of per-ray
+    bounds. Constant bounds per tile keep stratified ranks depth-
+    aligned across the tile — per-ray intervals diverge near the box
+    silhouette and blow chunk footprints past the region capacity
+    (measured 68-row/119-col envelopes vs the 17-row in-production
+    ones, tools/exp_fine_slab4.py). The union only ever WIDENS a hit
+    ray's interval (never loses mass vs per-ray tightening); tiles
+    with no hit at all stay per-ray degenerate (exact background)."""
     from nvsr_tpu.ops.occupancy import tighten_near_far
-    near, far = tighten_near_far(rays.origins, rays.directions, rays.near,
-                                 rays.far, aabb)
+    near, far, hit = tighten_near_far(rays.origins, rays.directions,
+                                      rays.near, rays.far, aabb)
+    if tile_rays:
+        nt = near.shape[0] // tile_rays
+        hit_t = hit.reshape(nt, tile_rays)
+        any_hit = jnp.any(hit_t, axis=1, keepdims=True)
+        big = jnp.float32(3.4e38)
+        n_t = jnp.min(jnp.where(hit_t, near.reshape(nt, tile_rays), big),
+                      axis=1, keepdims=True)
+        f_t = jnp.max(jnp.where(hit_t, far.reshape(nt, tile_rays), -big),
+                      axis=1, keepdims=True)
+        near = jnp.where(any_hit, n_t, near.reshape(nt, tile_rays)
+                         ).reshape(near.shape)
+        far = jnp.where(any_hit, f_t, far.reshape(nt, tile_rays)
+                        ).reshape(far.shape)
     return rays._replace(near=near, far=far)
 
 
@@ -472,7 +496,8 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                            use_viewdirs=rcfg.use_viewdirs, no_ndc=no_ndc,
                            hwf=hwf)
     if occ_aabb is not None:
-        rays = tighten_bundle(rays, jnp.asarray(occ_aabb))
+        rays = tighten_bundle(rays, jnp.asarray(occ_aabb),
+                              tile_rays=th_ * tw_ if tile else None)
     result = render_rays_chunked(point_fn_coarse, point_fn_fine, rays, key,
                                  rcfg, mesh=mesh)
 

@@ -36,7 +36,8 @@ def test_tighten_near_far_hit_and_miss():
     rd = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
     near = jnp.full((2, 1), 2.0)
     far = jnp.full((2, 1), 10.0)
-    n2, f2 = tighten_near_far(ro, rd, near, far, aabb)
+    n2, f2, hit = tighten_near_far(ro, rd, near, far, aabb)
+    assert bool(hit[0, 0]) and not bool(hit[1, 0])
     np.testing.assert_allclose(np.asarray(n2[0]), [4.0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(f2[0]), [6.0], atol=1e-5)
     # miss: DEGENERATE interval at the clipped slab midpoint (the ray
@@ -61,13 +62,36 @@ def test_miss_rays_composite_to_exact_background():
     np.testing.assert_allclose(np.asarray(out_miss.rgb), 1.0, atol=0)
 
 
+def test_tile_union_tightening():
+    """tighten_bundle(tile_rays=N): every ray of a tile shares the
+    UNION of the tile's hit intervals (rank alignment for the tiled
+    sampler); all-miss tiles stay per-ray degenerate."""
+    from nvsr_tpu.render import make_ray_bundle, tighten_bundle
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    # tile 1: one central + one grazing + one miss ray + one central;
+    # tile 2: all miss
+    ro = jnp.asarray([[-5.0, 0.0, 0.0], [-5.0, 0.99, 0.0],
+                      [-5.0, 3.0, 0.0], [-5.0, 0.5, 0.0],
+                      [-5.0, 3.0, 0.0], [-5.0, 4.0, 0.0],
+                      [-5.0, 5.0, 0.0], [-5.0, 6.0, 0.0]])
+    rd = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (8, 1))
+    rays = make_ray_bundle(ro, rd, 2.0, 10.0, use_viewdirs=True)
+    t = tighten_bundle(rays, aabb, tile_rays=4)
+    n, f = np.asarray(t.near)[:, 0], np.asarray(t.far)[:, 0]
+    # tile 1: shared union interval [4, 6] on every ray incl. the miss
+    np.testing.assert_allclose(n[:4], 4.0, atol=1e-4)
+    np.testing.assert_allclose(f[:4], 6.0, atol=1e-4)
+    # tile 2: all miss -> degenerate per ray
+    np.testing.assert_array_equal(n[4:], f[4:])
+
+
 def test_tighten_respects_original_bounds():
     aabb = jnp.asarray([[-10.0, -10.0, -10.0], [10.0, 10.0, 10.0]])
     ro = jnp.zeros((1, 3))
     rd = jnp.asarray([[1.0, 0.0, 0.0]])
     near = jnp.full((1, 1), 2.0)
     far = jnp.full((1, 1), 6.0)
-    n2, f2 = tighten_near_far(ro, rd, near, far, aabb)
+    n2, f2, _ = tighten_near_far(ro, rd, near, far, aabb)
     assert float(n2[0, 0]) >= 2.0 and float(f2[0, 0]) <= 6.0
 
 

@@ -85,7 +85,7 @@ def main():
                 rd = tile_ray_maps(rd, tile)
                 rays = make_ray_bundle(ro, rd, 2.0, 6.0,
                                        use_viewdirs=True)
-                rays = tighten_bundle(rays, jnp.asarray(occ))
+                rays = tighten_bundle(rays, jnp.asarray(occ), tile_rays=tr)
                 # deterministic eval sampling, coarse 16 + fine 16
                 zc = stratified_z_vals(key, rays.near, rays.far, 16,
                                        lindisp=False, perturb=False)
