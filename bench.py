@@ -187,25 +187,30 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
         elif ablate == "zero_fine":
             pf_f = _zero_pf
         out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
-        return out.fine.rgb
+        ovf = (out.aux or {}).get("overflow_frac", jnp.float32(0.0))
+        return out.fine.rgb, ovf
 
     render_jit = jax.jit(render)
     args = (decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
             tab_c, tab_f)
 
-    out = render_jit(*args, rays, jax.random.PRNGKey(1))
+    out, ovf = render_jit(*args, rays, jax.random.PRNGKey(1))
     assert np.isfinite(_sync(out))  # warmup compile (render + probe)
 
     n_rays = H * W
     t0 = time.perf_counter()
     for i in range(repeats):
-        out = render_jit(*args, rays, jax.random.PRNGKey(2 + i))
+        out, ovf = render_jit(*args, rays, jax.random.PRNGKey(2 + i))
     checksum = _sync(out)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)
     extra.update({
         "render_size": H, "num_coarse": num_coarse, "num_fine": num_fine,
         "occupancy_tightened": bool(use_occ),
+        # region-clamp safety net, driver-visible: nonzero means chunks
+        # exceeded the static [th, tw] capacity (production eval would
+        # fall back to the XLA path on this)
+        "overflow_frac": round(float(ovf), 6),
     })
     return repeats * n_rays / elapsed
 
