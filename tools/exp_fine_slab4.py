@@ -1,16 +1,17 @@
-"""Can the fine pass run slab 4 (B=1024 chunks) without region
-overflow on the flagship geometry?
+"""Fine-pass chunk extent envelopes across viewpoints (host-side).
 
-The fine megakernel currently runs 16x16-ray tiles x slab 2 (B=512):
-choose_slab caps HR-plane slabs at 2 because slab-4 depth motion
-overflowed the [24, 18] regions at 8x8 tiles (round 2, 67% clamped).
-Larger B halves the DMA/issue count and measured faster standalone
-(261M vs 246M rows/s, PERF.md round 3) — IF a region can hold the
-slab-4 footprint. This tool measures the true extent envelope and
-overflow fraction of fine-pass chunks at candidate (tile, slab, th, tw)
-over a sweep of bench-geometry viewpoints.
+Measures the worst-case aligned-row / x-cell footprints of fine-pass
+chunks at candidate (tile, slab) shapes over 6 bench-geometry
+viewpoints — the quantities the region dims (th, tw) must cover. This
+study drove three round-3 findings (PERF.md "Per-tile union occupancy
+tightening"): per-ray occupancy intervals diverge at box silhouettes
+(226-row footprints), the f32 two-product lerp breaks merge_sorted at
+degenerate intervals, and per-TILE UNION tightening bounds every
+envelope (16x16 x slab2 -> 23 rows / 17 cols; B=1024 shapes need
+>= 2.1x the gather work, settling the chunk-size question at B=512).
 
-Usage: python tools/exp_fine_slab4.py
+Usage: python tools/exp_fine_slab4.py  (pure host+CPU math; force
+jax_platforms=cpu in-process when the axon backend is registered)
 """
 
 import os
