@@ -84,14 +84,18 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16", field="blob"):
         cfg.models.coarse["dec_rgb_layers"] = 4
         cfg.experiment["id"] = f"occval_{field}_V"  # share V's training
         cfg.experiment["logdir"] = f"logs_{field}_V"
-        if variant == "U":
-            cfg.nerf.validation["tiled_gather"] = True
+        # tiled eval is DEFAULT-ON on TPU since round 3: the XLA side
+        # of the U/V gate must opt out explicitly
+        cfg.nerf.validation["tiled_gather"] = variant == "U"
     if variant == "T":
         # T: variant D plus the Pallas tiled eval path
         # (nerf.validation.tiled_gather) — the hardware quality gate for
         # ops/pallas/tile_sampler + fused_decoder on a trained scene.
         # Needs 8-divisible eval views (run with --size 256 -> 128^2).
         cfg.nerf.validation["tiled_gather"] = True
+    elif variant == "D":
+        # D: the XLA-path partner of T (tiled is default-on now)
+        cfg.nerf.validation["tiled_gather"] = False
     # white background (the blob scene renders over black): with a
     # black background the optimizer reaches a BLACK-FOG degenerate —
     # acc ~= 1 on every ray (opaque fog renders black as well as empty
