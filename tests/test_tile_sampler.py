@@ -222,6 +222,43 @@ def test_bicubic_model_forward_tiled_matches(rng):
     assert np.abs(np.asarray(out_tiled) - np.asarray(out_ref)).mean() < 5e-3
 
 
+def test_experiment_bicubic_tiled_eval_matches(tmp_path):
+    """plane_interp 'bicubic' through the production tiled eval path
+    (nerf.validation.tiled_gather) matches the XLA bicubic path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers_synth import write_blender_scene
+    from test_experiment import _mini_cfg
+    from nvsr_tpu.experiment import Experiment
+
+    write_blender_scene(str(tmp_path / "synt"), "lego", size=32)
+    cfg = _mini_cfg(tmp_path, logdir="logs/bicubic",
+                    train_groups={"4,8,8": ["lego"]}, sr=False,
+                    what=("LR_planes", "decoder"), iters=2)
+    cfg.models.coarse["plane_interp"] = "bicubic"
+    for mode in ("train", "validation"):
+        cfg.nerf[mode]["num_coarse"] = 8
+        cfg.nerf[mode]["num_fine"] = 8
+    exp = Experiment(cfg, root_path=str(tmp_path))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    for i in range(2):
+        exp.train_iteration(i)
+    scene = exp.training_scenes[0]
+    img_idx = exp.i_val[list(exp.i_val.keys())[0]][0]
+
+    out_plain, _ = exp.render_eval_image(scene, img_idx)
+    cfg.nerf.validation["tiled_gather"] = True
+    exp._eval_pf_cache = {}
+    assert exp.eval_tile_cfg(scene) is not None
+    out_tiled, _ = exp.render_eval_image(scene, img_idx)
+
+    a = np.asarray(out_plain.fine.rgb)
+    b = np.asarray(out_tiled.fine.rgb)
+    np.testing.assert_allclose(b, a, atol=5e-2, rtol=0)
+    assert np.abs(b - a).mean() < 5e-3
+
+
 def test_render_image_tiled_pad_non_multiple(rng):
     """render_image(tile=8) at an image size that is NOT a tile multiple
     (the LLFF case, e.g. 378x504) edge-pads to the tile grid, renders
