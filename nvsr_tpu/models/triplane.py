@@ -546,8 +546,13 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         else make_rot_mats(cfg.num_planes)
     interpret = jax.default_backend() == "cpu"
     n_pts = r * s
+    # bicubic rides the megakernel too (6-region cubic form) on the
+    # from-z ray entry; the grids fallback entry keeps the non-fused
+    # bicubic sampler + XLA decoder
     fused_ok = (not trainable
-                and cfg.plane_interp == "bilinear"
+                and (cfg.plane_interp == "bilinear"
+                     or (cfg.plane_interp == "bicubic"
+                         and origins is not None))
                 and fused_decoder.supports(cfg) and vp_ray is not None
                 and planes_pos.shape[0] == 3
                 and tile_cfg.tile_rays * slab <= 512)
@@ -573,7 +578,9 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 planes_pos, origins, directions, z_vals, view64, wpack,
                 bpack, plan_info, cfg, tile_cfg, box[:, :3], rot,
                 align_corners=cfg.align_corners, interpret=interpret,
-                tables=tile_tables)
+                tables=tile_tables,
+                interp="cubic" if cfg.plane_interp == "bicubic"
+                else "linear")
         else:
             from nvsr_tpu.ops.pallas.tile_sampler import \
                 tiled_render_chunked

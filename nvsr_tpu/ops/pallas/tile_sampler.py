@@ -574,7 +574,8 @@ def tiled_plane_sample(planes, grids, config: TileSamplerConfig,
 
 def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
                        Hp, config: TileSamplerConfig,
-                       align_corners: bool = True):
+                       align_corners: bool = True, interp: str = "linear",
+                       Wp: int = None):
     """Chunk descriptors straight from rays, COMPONENT-WISE.
 
     origins/directions [R, 3] (tile-coherent ray order), z_vals [R, S]
@@ -613,12 +614,39 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
         n.append(2.0 * (p_c - box3[0, c]) / (box3[1, c] - box3[0, c])
                  - 1.0)
 
-    oys, oxs, fidxs, tys, ovfs = [], [], [], [], []
-    for p in range(rot.shape[0]):
+    P = rot.shape[0]
+    oys, oxs, fidxs, tys, ovfs, oys_b = [], [], [], [], [], []
+    for p in range(P):
         # projection onto columns 1:3 of rot[p] (triplane.py
         # project_to_planes), unrolled to scalar FMAs
         gx = n[0] * rot[p, 0, 1] + n[1] * rot[p, 1, 1] + n[2] * rot[p, 2, 1]
         gy = n[0] * rot[p, 0, 2] + n[1] * rot[p, 1, 2] + n[2] * rot[p, 2, 2]
+        if interp == "cubic":
+            # bicubic table geometry: source coords clipped to
+            # [-1, size] (torch-exact beyond that), table row r = y0+1,
+            # min-tap table col c0 = x0+1 (build_pair_tables_bicubic)
+            xs = jnp.clip(_unnormalize(gx, W, align_corners), -1.0,
+                          float(W))
+            ys = jnp.clip(_unnormalize(gy, H, align_corners), -1.0,
+                          float(H))
+            x0 = jnp.floor(xs)
+            y0 = jnp.floor(ys)
+            r = y0.astype(jnp.int32) + 1
+            c0 = x0.astype(jnp.int32) + 1
+            oy = jnp.clip((jnp.min(r, axis=-1) // YALIGN) * YALIGN,
+                          0, Hp - th)                    # [NC]
+            ox = jnp.clip(jnp.min(c0, axis=-1), 0, Wp - tw)
+            ovfs.append((jnp.max(r, axis=-1) - oy > th - 1)
+                        | (jnp.max(c0, axis=-1) + 3 - ox > tw - 1))
+            yl = jnp.clip(r - oy[:, None], 0, th - 1).astype(jnp.float32)
+            fx = jnp.clip(xs + 2.0 - ox[:, None].astype(xs.dtype), 1.0,
+                          tw - 3.0 - 1e-3)
+            fidxs.append(yl * tw + fx)
+            tys.append(ys - y0)
+            oys.append(oy + p * Hp)
+            oys_b.append(oy + (P + p) * Hp)
+            oxs.append(ox)
+            continue
         xp = jnp.clip(_unnormalize(gx, W, align_corners), 0.0, W - 1.0)
         yp = jnp.clip(_unnormalize(gy, H, align_corners), 0.0, H - 1.0)
         y0 = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, H - 1)
@@ -636,8 +664,11 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
         oys.append(oy + p * Hp)
         oxs.append(ox)
 
+    if interp == "cubic":
+        oys = oys + oys_b                  # [A0 A1 A2 B0 B1 B2]
+        oxs = oxs + oxs
     org = jnp.stack([jnp.stack(oys, axis=-1),
-                     jnp.stack(oxs, axis=-1)], axis=-1)  # [NC, 3, 2]
+                     jnp.stack(oxs, axis=-1)], axis=-1)  # [NC, pp, 2]
     overflow_frac = jnp.mean(jnp.stack(ovfs).astype(jnp.float32))
     return (org, jnp.stack(fidxs), jnp.stack(tys), overflow_frac)
 
@@ -648,10 +679,12 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
 
 def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                  table_ref, wref, bref, out_ref, region, sem, *, th, tw,
-                 group, B, cfg, plan_info):
-    from nvsr_tpu.ops.pallas.fused_decoder import (OUT_LANES, decode_body,
+                 group, B, cfg, plan_info, interp="linear"):
+    from nvsr_tpu.ops.pallas.fused_decoder import (HALF as DHALF,
+                                                   OUT_LANES, decode_body,
                                                    lerp_pair)
     T = th * tw
+    pp = 3 if interp == "linear" else 6
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -666,13 +699,13 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     @pl.when(i == 0)
     def _():
         for g in range(group):
-            for p in range(3):
+            for p in range(pp):
                 dma(0, org_cur, g, p).start()
 
     @pl.when(i + 1 < n)
     def _():
         for g in range(group):
-            for p in range(3):
+            for p in range(pp):
                 dma((i + 1) % 2, org_nxt, g, p).start()
 
     slot = i % 2
@@ -683,11 +716,12 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     # the group replaces group x ~13 M=B matmuls with ~13 M=group*B
     # matmuls per step (A/B'd as "batchdec" in tools/exp_mega_rate.py)
     rows_p = [[], [], []]
+    rows_b = [[], [], []]                # bicubic outer-tap pairs
     for g in range(group):
         for p, fr in enumerate((f0, f1, f2)):
             fidx = fr[pl.ds(g * B, B), :]                # [B, 1]
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - fidx)
-                            ).astype(jnp.bfloat16)
+            w = _gather_weights(
+                cols, fidx, "linear" if interp == "linear" else "cubic")
             dma(slot, org_cur, g, p).wait()
             # bf16 tap pairs: same declared semantics as the standalone
             # tile sampler (_tile_gather returns bf16 rows); halves the
@@ -695,23 +729,46 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
             rows_p[p].append(jnp.dot(
                 w, region[slot, g, p].reshape(T, LANES),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-    feats = [lerp_pair(jnp.concatenate(rows_p[p], axis=0), tr_[:])
-             for p, tr_ in enumerate((t0, t1, t2))]
+            if interp == "cubic":
+                # same cubic x-weights against the B (outer y taps)
+                # region of the stacked bicubic table
+                dma(slot, org_cur, g, p + 3).wait()
+                rows_b[p].append(jnp.dot(
+                    w, region[slot, g, p + 3].reshape(T, LANES),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16))
+    if interp == "linear":
+        feats = [lerp_pair(jnp.concatenate(rows_p[p], axis=0), tr_[:])
+                 for p, tr_ in enumerate((t0, t1, t2))]
+    else:
+        feats = []
+        for p, tr_ in enumerate((t0, t1, t2)):
+            ra = jnp.concatenate(rows_p[p], axis=0)
+            rb = jnp.concatenate(rows_b[p], axis=0)
+            wm1, w0, w1, w2 = _cubic_coeffs4(tr_[:])
+            feats.append(wm1 * rb[:, :DHALF].astype(jnp.float32)
+                         + w0 * ra[:, :DHALF].astype(jnp.float32)
+                         + w1 * ra[:, DHALF:].astype(jnp.float32)
+                         + w2 * rb[:, DHALF:].astype(jnp.float32))
     fv = view_ref[:].astype(jnp.float32)
     head = decode_body(feats, fv, wref, bref, cfg, plan_info)
     out_ref[:] = head[:, :OUT_LANES]
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
-                                             "cfg", "plan_info",
+                                             "cfg", "plan_info", "interp",
                                              "interpret"))
 def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
-               group, B, cfg, plan_info, interpret=False):
+               group, B, cfg, plan_info, interp="linear", interpret=False):
     """fidx/ty arrive PLANE-MAJOR as [3*NC*B, 1] — three index_map
     views per array, so no interleaved per-point packing (and no
-    [.., 3]-minor transposes) ever materializes."""
+    [.., 3]-minor transposes) ever materializes. interp='cubic' fetches
+    SIX regions per chunk (A and B tables of build_pair_tables_bicubic;
+    org is [.., 6, 2]) and y-combines with the 4-tap cubic weights."""
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
     nsteps = org.shape[0] - 1
+    pp = org.shape[-2]
+    assert pp == (3 if interp == "linear" else 6)
 
     def pm_spec(p):
         return pl.BlockSpec((group * B, 1),
@@ -720,16 +777,16 @@ def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
 
     return pl.pallas_call(
         functools.partial(_mega_kernel, th=th, tw=tw, group=group, B=B,
-                          cfg=cfg, plan_info=plan_info),
+                          cfg=cfg, plan_info=plan_info, interp=interp),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
                                        jnp.float32),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, group, 3, 2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, group, 3, 2), lambda i: (i + 1, 0, 0, 0),
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i + 1, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pm_spec(0), pm_spec(1), pm_spec(2),
             pm_spec(0), pm_spec(1), pm_spec(2),
@@ -742,8 +799,8 @@ def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, group, 3, th, tw * LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, group, 3)),
+            pltpu.VMEM((2, group, pp, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group, pp)),
         ],
         interpret=interpret,
     )(org, org, fidx, fidx, fidx, ty, ty, ty, view, table, wpack, bpack)
@@ -793,10 +850,11 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
 
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                  overflow_frac, *, th, tw, group, B, cfg, plan_info,
-                 interpret):
+                 interpret, interp="linear"):
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
-    per-point interleave)."""
+    per-point interleave); org [NC, 3, 2] (linear) or [NC, 6, 2]
+    (cubic: A then B table origins)."""
     import os
     stub = os.environ.get("NVSR_MEGA_STUB", "0")
     # "1": stub every megakernel call; "fine": stub only calls against
@@ -814,7 +872,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                + table[:1, :OUT_LANES].astype(jnp.float32) * 1e-30
                + wpack[:1, :OUT_LANES] * 1e-30)
         return out, overflow_frac
-    NC = org.shape[0]
+    NC, pp = org.shape[0], org.shape[-2]
     pad = _round_up(NC, group) - NC
     if pad:
         org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
@@ -823,12 +881,12 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         view_c = jnp.pad(view_c, ((0, pad * B), (0, 0)))
     nsteps = (NC + pad) // group
     org = jnp.concatenate(
-        [org.reshape(nsteps, group, 3, 2),
-         jnp.zeros((1, group, 3, 2), org.dtype)], axis=0)
+        [org.reshape(nsteps, group, pp, 2),
+         jnp.zeros((1, group, pp, 2), org.dtype)], axis=0)
 
     out = _mega_call(table, org, fidx.reshape(-1, 1), ty.reshape(-1, 1),
                      view_c, wpack, bpack, th=th, tw=tw, group=group,
-                     B=B, cfg=cfg, plan_info=plan_info,
+                     B=B, cfg=cfg, plan_info=plan_info, interp=interp,
                      interpret=interpret)
     if pad:
         out = out[:NC * B]
@@ -985,7 +1043,7 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
                       bpack, plan_info, model_cfg,
                       config: TileSamplerConfig, box3, rot,
                       align_corners: bool = True, interpret: bool = False,
-                      tables=None):
+                      tables=None, interp: str = "linear"):
     """Gather + decode straight from rays: the fastest production entry.
 
     origins/directions [R, 3] tile-coherent; z_vals [R, S]; view_c
@@ -993,21 +1051,28 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
     pre-pass runs component-wise (prepare_ray_chunks) and the kernel
     reads plane-major fidx/ty views — between them this removes the
     17.6 ms/4096-chunk pre-pass wall of the grids-based entry
-    (PERF.md round 3). Returns ([R*S, OUT_LANES] f32 chunk-major,
-    overflow_frac)."""
+    (PERF.md round 3). interp='cubic' runs the bicubic megakernel
+    (6 region fetches against the stacked A/B table, cubic x weights,
+    4-tap y combine in-kernel; ~2x the bilinear gather cost). Returns
+    ([R*S, OUT_LANES] f32 chunk-major, overflow_frac)."""
     P, C, H, W = planes.shape
     assert P == 3
     th, tw = config.th, config.tw
+    pp = 3 if interp == "linear" else 6
     group = min(config.group,
                 max(1, (_scratch_budget() << 20)
-                    // (2 * 3 * th * tw * LANES * 2)))
-    table, Hp, Wp = tables if tables is not None \
-        else build_pair_tables(planes, config)
+                    // (2 * pp * th * tw * LANES * 2)))
+    if tables is not None:
+        table, Hp, Wp = tables
+    elif interp == "cubic":
+        table, Hp, Wp = build_pair_tables_bicubic(planes, config)
+    else:
+        table, Hp, Wp = build_pair_tables(planes, config)
     org, fidx, ty, overflow_frac = prepare_ray_chunks(
         origins, directions, z_vals, box3, rot, (H, W), Hp, config,
-        align_corners=align_corners)
+        align_corners=align_corners, interp=interp, Wp=Wp)
     B = config.chunk_points
     return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                         overflow_frac, th=th, tw=tw, group=group, B=B,
                         cfg=model_cfg, plan_info=plan_info,
-                        interpret=interpret)
+                        interpret=interpret, interp=interp)
