@@ -222,6 +222,50 @@ def test_bicubic_model_forward_tiled_matches(rng):
     assert np.abs(np.asarray(out_tiled) - np.asarray(out_ref)).mean() < 5e-3
 
 
+def test_bicubic_megakernel_matches_xla(rng):
+    """Flagship-width bicubic through the FUSED megakernel (from-z ray
+    entry; fused_decoder.supports holds) == the XLA bicubic path."""
+    import jax
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import (RenderConfig, make_triplane_point_fn,
+                                 render_image)
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3, plane_interp="bicubic",
+                         compute_dtype="bfloat16")
+    from nvsr_tpu.ops.pallas import fused_decoder
+    assert fused_decoder.supports(cfg)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(0.1 * rng.standard_normal(
+        (3, cfg.num_plane_channels, 64, 64)).astype(np.float32))
+    pv = jnp.asarray(0.1 * rng.standard_normal(
+        (cfg.viewdir_channels, 16, 16)).astype(np.float32))
+    box = np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                    [4, 4, 4, np.pi, np.pi / 2]]).astype(np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 3.5
+    H = W = 16
+    ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3), jnp.asarray(c2w))
+    rcfg = RenderConfig(num_coarse=8, num_fine=8, perturb=False,
+                        radiance_field_noise_std=0.0, ray_block=256)
+    tc = TileSamplerConfig(tile_rays=64)
+    pf_t = [make_triplane_point_fn(params, cfg, planes, pv, box,
+                                   tile_cfg=tc) for _ in range(2)]
+    out_t = render_image(pf_t[0], pf_t[1], ro, rd, jax.random.PRNGKey(1),
+                         rcfg, near=2.0, far=6.0, tile=8)
+    pf_x = [make_triplane_point_fn(params, cfg, planes, pv, box)
+            for _ in range(2)]
+    out_x = render_image(pf_x[0], pf_x[1], ro, rd, jax.random.PRNGKey(1),
+                         rcfg, near=2.0, far=6.0)
+    a = np.asarray(out_x.fine.rgb)
+    b = np.asarray(out_t.fine.rgb)
+    assert float(out_t.aux["overflow_frac"]) == 0.0
+    np.testing.assert_allclose(b, a, atol=5e-2, rtol=0)
+    assert np.abs(b - a).mean() < 5e-3
+
+
 def test_experiment_bicubic_tiled_eval_matches(tmp_path):
     """plane_interp 'bicubic' through the production tiled eval path
     (nerf.validation.tiled_gather) matches the XLA bicubic path."""
