@@ -24,18 +24,40 @@ kernel that exploits the spatial coherence of sample points:
     x-interpolates both vertical taps; a cheap XLA epilogue finishes
     the y-lerp.
 
-Measured (tools/exp_tile_kernel*.py, 1x v5e): 140-160M rows/s without
-step batching vs the 60M rows/s XLA baseline; see PERF.md round 2.
+Measured (tools/exp_tile_kernel*.py + exp_mega_rate.py, 1x v5e):
+~250M rows/s full megakernel at production shapes vs the 60M rows/s
+XLA gather baseline; see PERF.md rounds 2-3.
 
-Semantics: numerically matches grid_sample_2d(..., 'bilinear',
-padding_mode='border') with bfloat16 tap values AND bfloat16
-interpolation weights (the XLA packed path keeps weights f32). Points
-of a chunk whose region exceeds [th, tw] cells are clamped to the
-region (nearest-cell approximation); the returned overflow fraction
-reports how many chunks clamped. This path is eval-only (no custom
-VJP) and opt-in (render.RenderConfig.tiled_gather).
+The module has grown into the full fast sampling/decoding subsystem:
 
-Reference behavior being replaced: grid_sample bilinear at reference
+  * `_tile_gather`          standalone gather kernel (linear or cubic
+                            MXU select weights);
+  * the MEGAKERNEL          (`tiled_render_rays` / `_mega_call`):
+                            region DMAs + gather matmuls + y-combine +
+                            the ENTIRE decoder in one pallas call, with
+                            the decoder hoisted across the region group
+                            (one decode per grid step at M=group*B —
+                            the kernel is matmul-issue bound);
+  * bilinear AND bicubic    (`build_pair_tables` /
+                            `build_pair_tables_bicubic`: bicubic
+                            fetches A (y,y+1) and B (y-1,y+2) pair
+                            regions and y-combines with the 4-tap
+                            cubic weights — torch-exact borders);
+  * a TRAINABLE custom-VJP  (`tiled_plane_sample_trainable`: backward
+                            = hat-weight scatter into the pair table),
+                            used by the coarse pass of tile-coherent
+                            training batches.
+
+Semantics: numerically matches grid_sample_2d(..., 'bilinear'|
+'bicubic', padding_mode='border') with bfloat16 tap values AND
+bfloat16 interpolation weights (the XLA packed path keeps weights
+f32). Points of a chunk whose region exceeds [th, tw] cells are
+clamped to the region (nearest-cell approximation); the returned
+overflow fraction reports how many chunks clamped, and the production
+eval falls back to the XLA path on any nonzero value. Tiled eval is
+the DEFAULT production path on TPU (experiment.eval_tile_cfg).
+
+Reference behavior being replaced: grid_sample at reference
 models.py:303-309 — same math, locality-bucketed execution.
 """
 
