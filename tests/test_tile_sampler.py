@@ -266,6 +266,47 @@ def test_bicubic_megakernel_matches_xla(rng):
     assert np.abs(b - a).mean() < 5e-3
 
 
+def test_experiment_overflow_falls_back_to_xla(tmp_path):
+    """When a tiled eval render clamps (overflow_frac > 0), the
+    production eval re-renders through the exact XLA path and tags the
+    fallback in aux — the safety net VERDICT r2 demanded."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers_synth import write_blender_scene
+    from test_experiment import _mini_cfg
+    from nvsr_tpu.experiment import Experiment
+
+    write_blender_scene(str(tmp_path / "synt"), "lego", size=32)
+    cfg = _mini_cfg(tmp_path, logdir="logs/ovf",
+                    train_groups={"4,64,8": ["lego"]}, sr=False,
+                    what=("LR_planes", "decoder"), iters=2)
+    for mode in ("train", "validation"):
+        cfg.nerf[mode]["num_coarse"] = 8
+        cfg.nerf[mode]["num_fine"] = 8
+    # 16x16-pixel tiles on a 32px image: each tile spans a quarter of
+    # the frame, so chunk footprints exceed any region capacity
+    cfg.nerf.validation["tiled_gather"] = True
+    cfg.nerf.validation["tile_shape"] = "16x16"
+    exp = Experiment(cfg, root_path=str(tmp_path))
+    exp.planes_buffer.draw_scenes()
+    exp.image_sampler.update_active(exp.planes_buffer.cur_scenes)
+    for i in range(2):
+        exp.train_iteration(i)
+    scene = exp.training_scenes[0]
+    img_idx = exp.i_val[list(exp.i_val.keys())[0]][0]
+    assert exp.eval_tile_cfg(scene) is not None
+    out, _ = exp.render_eval_image(scene, img_idx)
+    aux = out.aux or {}
+    assert float(aux.get("overflow_frac", 0.0)) > 0.0
+    assert float(aux.get("tiled_fallback", 0.0)) == 1.0
+    # and the fallback output equals a straight XLA render
+    cfg.nerf.validation["tiled_gather"] = False
+    exp._eval_pf_cache = {}
+    out_x, _ = exp.render_eval_image(scene, img_idx)
+    np.testing.assert_allclose(np.asarray(out.fine.rgb),
+                               np.asarray(out_x.fine.rgb), atol=1e-4)
+
+
 def test_experiment_bicubic_tiled_eval_matches(tmp_path):
     """plane_interp 'bicubic' through the production tiled eval path
     (nerf.validation.tiled_gather) matches the XLA bicubic path."""
