@@ -85,6 +85,8 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
     model_cfg = TriplaneConfig(
         proj_combination="avg", viewdir_proj_combination="concat_pos",
         skip_connect_every=3,
+        # BENCH_INTERP=bicubic: the 6-region cubic megakernel
+        plane_interp=os.environ.get("BENCH_INTERP", "bilinear"),
         gather_table_dtype=os.environ.get("BENCH_TABLE_DTYPE", "bfloat16"),
         compute_dtype=os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16"))
     sr_factor = 4
@@ -166,9 +168,12 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
     tab_c = tab_f = None
     hw_c = hw_f = None
     if tile_cfg is not None and not in_frame:
-        from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables
-        tab_c, *hw_c = build_pair_tables(planes_lr, tile_cfg)
-        tab_f, *hw_f = build_pair_tables(planes_sr, tile_cfg)
+        from nvsr_tpu.ops.pallas.tile_sampler import (
+            build_pair_tables, build_pair_tables_bicubic)
+        build = build_pair_tables_bicubic \
+            if model_cfg.plane_interp == "bicubic" else build_pair_tables
+        tab_c, *hw_c = build(planes_lr, tile_cfg)
+        tab_f, *hw_f = build(planes_sr, tile_cfg)
 
     def render(decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
                tab_c, tab_f, rays, key):
