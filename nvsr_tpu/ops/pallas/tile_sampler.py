@@ -144,24 +144,27 @@ def choose_region_dims(num_samples: int, plane_res: int, slab: int,
     """Per-pass region dims (th, tw), never exceeding the config's.
 
     Measured chunk extents on flagship-class geometry (16x16-ray tiles,
-    slab 2; extent study in PERF.md round 3, pinned by
-    tests/test_tile_sampler.py):
-      fine   (S=32 @ 800^2): <= 17 aligned rows, <= 12 x-cells (+tap)
-      coarse (S=16 @ 200^2): <= 11 aligned rows, <=  7 x-cells (+tap)
+    slab 2, per-TILE UNION occupancy bounds; extent study in PERF.md
+    round 3, pinned by tests/test_tile_sampler.py):
+      fine   (S=32 @ 800^2): <= 18 aligned rows, <= 14 x-cells (+tap)
+                             at the bench eye; <= 23/<= 17 across the
+                             6-viewpoint sweep
+      coarse (S=16 @ 200^2): <= 12 aligned rows, <=  8 x-cells (+tap)
     The x extent is set mostly by the TILE's on-plane footprint (which
     scales with plane_res), the y/aligned-row extent by footprint plus
     the slab's depth motion (which shrinks as sampling densifies, i.e.
-    as k = S*256/res grows). Margins of ~2 cells are kept; geometry
-    outside this envelope clamps, reports overflow_frac, and falls
-    back to the exact XLA path at eval."""
+    as k = S*256/res grows). The fine tw is 16 (= 2 capacity margin,
+    and T = 24*16 = 384 = 3 full 128-lane tiles); geometry outside the
+    envelope clamps, reports overflow_frac, and falls back to the
+    exact XLA path at eval."""
     if (not config.adaptive_region or tile_rays * slab > 512
             or slab > 2):
         return config.th, config.tw
     k = num_samples * 256 / max(plane_res, 1)
     if plane_res <= 400 and k >= 16:
-        th, tw = 16, 10     # LR-plane coarse passes (7-11 measured)
+        th, tw = 16, 10     # LR-plane coarse passes (8-12 measured)
     elif k >= 8 or plane_res > 400:
-        th, tw = 24, 14     # HR-plane fine passes (12-17 measured)
+        th, tw = 24, 16     # HR-plane fine passes (14-18 measured)
     else:                   # sparse sampling: footprints grow, keep full
         th, tw = config.th, config.tw
     return min(th, config.th), min(tw, config.tw)
