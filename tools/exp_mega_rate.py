@@ -78,6 +78,57 @@ def variant_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
     def dma_g(g):
         return (g // 2) * 2 if share else g
 
+    if mode == "cubic":
+        # the bicubic megakernel form: 6 regions/chunk (A+B tables),
+        # cubic x weights, 4-tap y combine, batched decode
+        from nvsr_tpu.ops.pallas.tile_sampler import (_cubic_coeffs4,
+                                                      _gather_weights)
+        slot_ = i % 2
+
+        @pl.when(i == 0)
+        def _():
+            for g in range(group):
+                for p in range(6):
+                    dma(0, org_cur, g, p).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for g in range(group):
+                for p in range(6):
+                    dma((i + 1) % 2, org_nxt, g, p).start()
+        cols_ = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1
+                                         ).astype(jnp.float32)
+        rows_a = [[], [], []]
+        rows_b = [[], [], []]
+        for g in range(group):
+            ft = ft_ref[pl.ds(g * B, B), :]
+            for p in range(3):
+                w = _gather_weights(cols_, ft[:, p:p + 1], "cubic")
+                dma(slot_, org_cur, g, p).wait()
+                rows_a[p].append(jnp.dot(
+                    w, region[slot_, g, p].reshape(T, LANES),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16))
+                dma(slot_, org_cur, g, p + 3).wait()
+                rows_b[p].append(jnp.dot(
+                    w, region[slot_, g, p + 3].reshape(T, LANES),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16))
+        ft_all = ft_ref[:]
+        H64 = fused_decoder.HALF
+        feats = []
+        for p in range(3):
+            ra = jnp.concatenate(rows_a[p], axis=0)
+            rb = jnp.concatenate(rows_b[p], axis=0)
+            wm1, w0, w1, w2 = _cubic_coeffs4(ft_all[:, 4 + p:5 + p])
+            feats.append(wm1 * rb[:, :H64].astype(jnp.float32)
+                         + w0 * ra[:, :H64].astype(jnp.float32)
+                         + w1 * ra[:, H64:].astype(jnp.float32)
+                         + w2 * rb[:, H64:].astype(jnp.float32))
+        fv = view_ref[:].astype(jnp.float32)
+        head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+        out_ref[:] = head[:, :OUT_LANES]
+        return
     if mode == "batchdec":
         # hoist the decoder ACROSS the group: gathers+lerp per chunk as
         # usual, but ONE decode_body per grid step on the stacked
@@ -198,6 +249,7 @@ def variant_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
                  cfg, plan_info, mode):
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
     nsteps = org.shape[0] - 1
+    pp = org.shape[-2]
     return pl.pallas_call(
         functools.partial(variant_kernel, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info, mode=mode),
@@ -207,9 +259,9 @@ def variant_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
                                        jnp.float32),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, group, 3, 2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, group, 3, 2), lambda i: (i + 1, 0, 0, 0),
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i + 1, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((group * B, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -222,19 +274,22 @@ def variant_call(table, org, ft, view, wpack, bpack, *, th, tw, group, B,
         out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, group, 3, th, tw * LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, group, 3)),
+            pltpu.VMEM((2, group, pp, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group, pp)),
         ],
     )(org, org, ft, view, table, wpack, bpack)
 
 
-def make_inputs(key, res, NC, B, tc, origin_mode):
+def make_inputs(key, res, NC, B, tc, origin_mode, cubic=False):
     """Synthetic chunk descriptors: origins either scanline-adjacent
     (consecutive chunks step 0-2 cells, like slabs of one tile) or
-    uniform-random over the plane."""
+    uniform-random over the plane. cubic=True builds the stacked A/B
+    bicubic table and [NC, 6, 2] origins (B origins = A + 3*Hp)."""
+    from nvsr_tpu.ops.pallas.tile_sampler import build_pair_tables_bicubic
     C = 48
     planes = 0.03 * jax.random.normal(key, (3, C, res, res))
-    table, Hp, Wp = build_pair_tables(planes, tc)
+    build = build_pair_tables_bicubic if cubic else build_pair_tables
+    table, Hp, Wp = build(planes, tc)
     th, tw = tc.th, tc.tw
     rng = np.random.default_rng(0)
     if origin_mode == "walk":
@@ -248,7 +303,12 @@ def make_inputs(key, res, NC, B, tc, origin_mode):
         ox = rng.integers(0, max(res - 1, 1), size=(NC, 3))
     plane_row0 = np.arange(3) * Hp
     org = np.stack([oy + plane_row0, ox], axis=-1)        # [NC, 3, 2]
-    fidx = rng.uniform(0, th * tw - 1, size=(NC, B, 3)).astype(np.float32)
+    if cubic:
+        org = np.concatenate(
+            [org, org + np.asarray([3 * Hp, 0])], axis=1)  # [NC, 6, 2]
+    fidx = rng.uniform(1.0, tw - 3.5 if cubic else tw - 1.5,
+                       size=(NC, B, 3)).astype(np.float32)
+    fidx = fidx + (rng.integers(0, th, size=(NC, B, 3)) * tw)
     ty = rng.uniform(0, 1, size=(NC, B, 3)).astype(np.float32)
     ft = np.concatenate([fidx, np.zeros((NC, B, 1), np.float32),
                          ty, np.zeros((NC, B, 1), np.float32)],
@@ -284,11 +344,14 @@ def main():
     print(f"B={B} NC={NC} group={group} th={th} tw={tw} res={res} "
           f"org={origin_mode} rows/call={NC * B * 3 / 1e6:.1f}M",
           flush=True)
-    table, org, ft, view = make_inputs(key, res, NC, B, tc, origin_mode)
+    cubic = "cubic" in modes
+    table, org, ft, view = make_inputs(key, res, NC, B, tc, origin_mode,
+                                       cubic=cubic)
+    pp = org.shape[-2]
     nsteps = NC // group
     orgs = jnp.concatenate(
-        [org[:nsteps * group].reshape(nsteps, group, 3, 2),
-         jnp.zeros((1, group, 3, 2), org.dtype)], axis=0)
+        [org[:nsteps * group].reshape(nsteps, group, pp, 2),
+         jnp.zeros((1, group, pp, 2), org.dtype)], axis=0)
     ft_c = ft[:nsteps * group * B]
     view_c = view[:nsteps * group * B]
     rows = nsteps * group * B * 3
