@@ -570,7 +570,9 @@ def test_adaptive_region_dims_no_overflow():
         assert ovf == 0.0, (S, res, slab, th, tw, ovf)
     # the shrink actually engages on the flagship passes
     assert choose_region_dims(16, 200, 2, 256, cfgT) == (16, 10)
-    assert choose_region_dims(32, 800, 2, 256, cfgT) == (24, 14)
+    # fine tw 16 covers the union-tightened bench-eye footprint
+    # (14 x-cells incl. tap; PERF.md round-3 silhouette study)
+    assert choose_region_dims(32, 800, 2, 256, cfgT) == (24, 16)
 
 
 def test_megakernel_full_forward_matches(rng):
