@@ -6,11 +6,18 @@ slab 2, group 9) — the only differences are the table size (580 MB
 HR 800^2 vs 33 MB LR 200^2) and twice the chunk count. This tool times
 `tiled_render_chunked`-shaped kernels standalone with pieces removed:
 
-  full          the shipped megakernel (gather + decode)
+  full          the round-2 megakernel (per-chunk gather + decode)
+  batchdec      the SHIPPED round-3 kernel: per-chunk gathers, ONE
+                decode per grid step at M=group*B (issue-bound fix)
+  cubic         the bicubic megakernel (6 regions, cubic weights,
+                4-tap y combine, batched decode)
   nodecode      gather matmuls only (decode skipped)
   constw        DMA + matmul with a CONSTANT weight matrix
                 (hat-build VPU cost removed)
   nodma         compute only (regions never fetched; DMA cost removed)
+  mmonly        3 const-weight gather matmuls per chunk, nothing else
+  nomm          everything EXCEPT the gather matmuls
+  dmashare      2 chunks share one region fetch
   small/large   table resolution 200^2 vs 800^2 (DMA locality)
   rand/walk     chunk origins random vs scanline-adjacent
 
@@ -127,6 +134,58 @@ def variant_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
                          + w2 * rb[:, H64:].astype(jnp.float32))
         fv = view_ref[:].astype(jnp.float32)
         head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+        out_ref[:] = head[:, :OUT_LANES]
+        return
+    if mode == "mm2":
+        # batchdec + PAIRED gather matmuls: two chunks of the same
+        # plane share one [2B, 2T] @ [2T, 128] block-diagonal matmul —
+        # 2x the MXU FLOPs but HALF the matmul issues. Wins only if the
+        # per-issue overhead exceeds one chunk-matmul's pure MXU time
+        # (~0.25 us at B=512, T=384).
+        from nvsr_tpu.ops.pallas.fused_decoder import (
+            decode_body as _db, lerp_pair as _lp)
+        assert group % 2 == 0
+        slot_ = i % 2
+
+        @pl.when(i == 0)
+        def _():
+            for g in range(group):
+                for p in range(3):
+                    dma(0, org_cur, g, p).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for g in range(group):
+                for p in range(3):
+                    dma((i + 1) % 2, org_nxt, g, p).start()
+        cols_ = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1
+                                         ).astype(jnp.float32)
+        zeros_w = jnp.zeros((B, T), jnp.bfloat16)
+        rows_p = [[], [], []]
+        for g in range(0, group, 2):
+            ft0 = ft_ref[pl.ds(g * B, B), :]
+            ft1 = ft_ref[pl.ds((g + 1) * B, B), :]
+            for p in range(3):
+                w0 = jnp.maximum(0.0, 1.0 - jnp.abs(cols_ - ft0[:, p:p + 1])
+                                 ).astype(jnp.bfloat16)
+                w1 = jnp.maximum(0.0, 1.0 - jnp.abs(cols_ - ft1[:, p:p + 1])
+                                 ).astype(jnp.bfloat16)
+                w2 = jnp.concatenate(
+                    [jnp.concatenate([w0, zeros_w], axis=1),
+                     jnp.concatenate([zeros_w, w1], axis=1)], axis=0)
+                dma(slot_, org_cur, g, p).wait()
+                dma(slot_, org_cur, g + 1, p).wait()
+                reg2 = jnp.concatenate(
+                    [region[slot_, g, p].reshape(T, LANES),
+                     region[slot_, g + 1, p].reshape(T, LANES)], axis=0)
+                rows_p[p].append(jnp.dot(
+                    w2, reg2, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16))
+        ft_all = ft_ref[:]
+        feats = [_lp(jnp.concatenate(rows_p[p], axis=0),
+                     ft_all[:, 4 + p:5 + p]) for p in range(3)]
+        fv = view_ref[:].astype(jnp.float32)
+        head = _db(feats, fv, wref, bref, cfg, plan_info)
         out_ref[:] = head[:, :OUT_LANES]
         return
     if mode == "batchdec":
