@@ -922,10 +922,21 @@ class Experiment:
         at the efficient 512 points; overflow_frac is surfaced and
         triggers an automatic XLA fallback, so the aggressive default
         is safe on unanticipated geometry."""
-        spec = str(self.cfg.get_path("nerf.validation.tile_shape",
-                                     "16x16"))
+        return self._parse_tile_shape("nerf.validation.tile_shape",
+                                      "16x16")
+
+    def _parse_tile_shape(self, cfg_key: str, default: str):
+        """Parse a 'THxTW' / 'TH' tile-shape config value into (th, tw)
+        — the single parser for both the eval and train tile specs."""
+        spec = str(self.cfg.get_path(cfg_key, default))
         th, _, tw = spec.partition("x")
         return int(th), int(tw or th)
+
+    def train_tile_shape(self):
+        """(th, tw) image-tile shape for tile-coherent training batches
+        (nerf.train.tile_shape); used both to build the train
+        TileSamplerConfig and to pick matching pixel tiles."""
+        return self._parse_tile_shape("nerf.train.tile_shape", "8x8")
 
     def eval_tile_cfg(self, scene_id: str):
         """TileSamplerConfig for eval renders when the geometry
@@ -988,9 +999,7 @@ class Experiment:
                 or self.model_cfg.plane_interp != "bilinear"
                 or self.model_cfg.num_plane_channels > HALF):
             return None
-        spec = str(self.cfg.get_path("nerf.train.tile_shape", "8x8"))
-        th, _, tw = spec.partition("x")
-        th, tw = int(th), int(tw or th)
+        th, tw = self.train_tile_shape()
         if num_rays % (th * tw):
             return None
         return TileSamplerConfig(tile_rays=th * tw)
@@ -1216,11 +1225,9 @@ class Experiment:
                 self.host_rng, img, num_rays, coupler_ds)
         elif train_tc is not None:
             from nvsr_tpu.train import choose_tile_pixels
-            spec = str(self.cfg.get_path("nerf.train.tile_shape", "8x8"))
-            tth, _, ttw = spec.partition("x")
             rows, cols, target = choose_tile_pixels(
                 self.host_rng, img, num_rays,
-                tile=(int(tth), int(ttw or tth)))
+                tile=self.train_tile_shape())
         else:
             rows, cols, target = choose_random_pixels(
                 self.host_rng, img, num_rays)

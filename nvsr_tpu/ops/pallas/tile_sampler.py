@@ -423,9 +423,12 @@ def tiled_plane_sample_prechunked_bicubic(
 
     yl = jnp.clip(r - oy[..., None], 0, th - 1).astype(jnp.float32)
     # local float x position; taps floor(fx)-1..+2 stay inside the row
-    # for fx in [1, tw-3): clamp (with the overflow report) otherwise
+    # for fx in [1, tw-2): clamp (with the overflow report) otherwise.
+    # The bound must MATCH the overflow predicate above (in-capacity
+    # iff fx < tw-2): a tighter clamp silently shifts the 4-tap window
+    # one cell left for boundary points the predicate declares valid.
     fx = jnp.clip(xs + 2.0 - ox[..., None].astype(xs.dtype), 1.0,
-                  tw - 3.0 - 1e-3)
+                  tw - 2.0 - 1e-3)
     fidx = yl * tw + fx                                 # [P, NC, B]
 
     plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
@@ -664,8 +667,10 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
             ovfs.append((jnp.max(r, axis=-1) - oy > th - 1)
                         | (jnp.max(c0, axis=-1) + 3 - ox > tw - 1))
             yl = jnp.clip(r - oy[:, None], 0, th - 1).astype(jnp.float32)
+            # clamp bound matches the overflow predicate: in-capacity
+            # iff fx < tw-2 (taps floor(fx)-1..+2 within the row)
             fx = jnp.clip(xs + 2.0 - ox[:, None].astype(xs.dtype), 1.0,
-                          tw - 3.0 - 1e-3)
+                          tw - 2.0 - 1e-3)
             fidxs.append(yl * tw + fx)
             tys.append(ys - y0)
             oys.append(oy + p * Hp)

@@ -183,6 +183,43 @@ def test_bicubic_tiled_matches_reference(rng):
         assert err.max() < 5e-2 and err.mean() < 5e-3
 
 
+def test_bicubic_capacity_boundary_chunk_exact(rng):
+    """A chunk whose 4-tap x span EXACTLY fills the region (max tap at
+    column tw-1) is in-capacity per the overflow predicate — its
+    boundary points (local fx in [tw-3, tw-2)) must interpolate
+    exactly, not get silently shifted one cell left by the fx clamp.
+
+    Regression for the clamp/predicate mismatch (round-3 review): the
+    clamp upper bound was tw-3-1e-3 while the predicate admits
+    fx < tw-2, corrupting capacity-boundary chunks with
+    overflow_frac == 0 (max feature error ~0.67 vs ~0.005 noise)."""
+    from nvsr_tpu.ops.grid_sample import multi_plane_sample
+    from nvsr_tpu.ops.pallas.tile_sampler import (
+        tiled_plane_sample_prechunked_bicubic)
+    P, C, H, W = 3, 8, 64, 64
+    cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=16, group=1)
+    B = cfg.tile_rays * cfg.slab
+    # source x spans exactly tw-4 = 12 cells: c0 = floor(x)+1 runs
+    # 21..33, ox = 21, max tap col 33+3 = 36 -> 36-21 = tw-1 (the last
+    # region column). The top of the range (x in [32, 33)) lands in the
+    # previously-clamped fx zone [tw-3, tw-2).
+    xs = np.concatenate([np.linspace(20.05, 31.9, B - 8),
+                         np.linspace(32.0, 32.98, 8)])
+    ys = np.full(B, 30.3)
+    g = np.stack([2.0 * xs / (W - 1) - 1.0,
+                  2.0 * ys / (H - 1) - 1.0], axis=-1).astype(np.float32)
+    g_c = jnp.asarray(np.broadcast_to(g, (P, 1, B, 2)))
+    planes = jnp.asarray(
+        rng.standard_normal((P, C, H, W)).astype(np.float32))
+    out, ovf = tiled_plane_sample_prechunked_bicubic(
+        planes, g_c, cfg, align_corners=True, interpret=True)
+    ref = multi_plane_sample(planes, g_c.reshape(P, -1, 2),
+                             mode="bicubic", align_corners=True)
+    assert float(ovf) == 0.0
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 5e-2 and err.mean() < 5e-3
+
+
 def test_bicubic_model_forward_tiled_matches(rng):
     """Full triplane forward with plane_interp='bicubic' through the
     tiled path == the XLA gather path (VERDICT r2 missing #4)."""

@@ -195,18 +195,18 @@ def variant_kernel(org_cur, org_nxt, ft_ref, view_ref, table_ref, wref,
         # group x 13 at M=B (the kernel is matmul-issue bound, not
         # FLOP bound)
         slot_ = i % 2
-        if mode != "nodma":
-            @pl.when(i == 0)
-            def _():
-                for g in range(group):
-                    for p in range(3):
-                        dma(0, org_cur, g, p).start()
 
-            @pl.when(i + 1 < n)
-            def _():
-                for g in range(group):
-                    for p in range(3):
-                        dma((i + 1) % 2, org_nxt, g, p).start()
+        @pl.when(i == 0)
+        def _():
+            for g in range(group):
+                for p in range(3):
+                    dma(0, org_cur, g, p).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            for g in range(group):
+                for p in range(3):
+                    dma((i + 1) % 2, org_nxt, g, p).start()
         cols_ = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1
                                          ).astype(jnp.float32)
         rows_p = [[], [], []]

@@ -64,10 +64,12 @@ def edsr_variant(params, cfg, x, *, layout="NCHW", remat_every=1,
                 h, w, (1, 1), "VALID", dimension_numbers=dn)
 
         def shuffle(h, r):
+            # torch PixelShuffle channel order (c*r^2 + ry*r + rx) so
+            # the NHWC variants stay numerics-identical to base
             n, hh, ww, c4 = h.shape
             c = c4 // (r * r)
-            h = h.reshape(n, hh, ww, r, r, c)
-            h = h.transpose(0, 1, 3, 2, 4, 5)
+            h = h.reshape(n, hh, ww, c, r, r)
+            h = h.transpose(0, 1, 4, 2, 5, 3)
             return h.reshape(n, hh * r, ww * r, c)
     else:
         def conv(p, h):

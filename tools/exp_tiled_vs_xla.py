@@ -63,19 +63,25 @@ def _render_frame(tiled):
                     [4, 4, 4, np.pi, np.pi / 2]]).astype(np.float32)
     ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3),
                             jnp.asarray(bench._camera([3.8, 0.5, 0.7])))
-    tile_cfg = None
-    if tiled:
-        from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
-        spec = os.environ.get("BENCH_TILE", "16x16")
-        th_, _, tw_ = spec.partition("x")
-        tile = (int(th_), int(tw_ or th_))
-        tile_cfg = TileSamplerConfig(tile_rays=tile[0] * tile[1])
-        ro = tile_ray_maps(ro, tile)
-        rd = tile_ray_maps(rd, tile)
+    # BOTH frames ride tile-major rays with per-TILE UNION tightening
+    # (the production tiled configuration, PERF.md round-3 silhouette
+    # study) so they sample IDENTICAL z intervals — the only difference
+    # between the frames is the gather/decode path, which is exactly
+    # what this gate measures. Per-ray tightening on the tiled frame
+    # would add region-clamp noise; different tightening between the
+    # frames would add legitimate-but-irrelevant sampling differences.
+    from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+    spec = os.environ.get("BENCH_TILE", "16x16")
+    th_, _, tw_ = spec.partition("x")
+    tile = (int(th_), int(tw_ or th_))
+    tile_cfg = TileSamplerConfig(tile_rays=tile[0] * tile[1]) \
+        if tiled else None
+    ro = tile_ray_maps(ro, tile)
+    rd = tile_ray_maps(rd, tile)
     rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)
     occ_aabb = jnp.asarray([[-1.4, -1.1, -1.1], [1.5, 1.3, 1.2]],
                            dtype=jnp.float32)
-    rays = tighten_bundle(rays, occ_aabb)
+    rays = tighten_bundle(rays, occ_aabb, tile_rays=tile[0] * tile[1])
     rcfg = RenderConfig(num_coarse=16, num_fine=16, perturb=False,
                         radiance_field_noise_std=0.0, ray_block=8192)
 
@@ -89,17 +95,19 @@ def _render_frame(tiled):
         pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
                                       plane_view, box, tile_cfg=tile_cfg)
         out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
-        return out.fine.rgb
+        ovf = (out.aux or {}).get("overflow_frac", jnp.float32(0.0))
+        return out.fine.rgb, ovf
 
-    rgb = np.asarray(jax.jit(render)(
+    rgb, ovf = jax.jit(render)(
         decoder_c, decoder_f, planes_lr, planes_sr, plane_view,
-        rays, jax.random.PRNGKey(1)), dtype=np.float32)
-    if tiled:
-        spec = os.environ.get("BENCH_TILE", "16x16")
-        th_, _, tw_ = spec.partition("x")
-        tile = (int(th_), int(tw_ or th_))
-        rgb = np.asarray(untile_ray_maps(
-            jnp.asarray(rgb).reshape(H * W, 3), H, W, tile))
+        rays, jax.random.PRNGKey(1))
+    rgb = np.asarray(rgb, dtype=np.float32)
+    if float(ovf) > 0.0:
+        # region clamping would invalidate the numerics comparison
+        print(f"WARNING: overflow_frac={float(ovf):.4f} (tiled={tiled})"
+              " — agreement PSNR includes clamping artifacts")
+    rgb = np.asarray(untile_ray_maps(
+        jnp.asarray(rgb).reshape(H * W, 3), H, W, tile))
     return rgb.reshape(H, W, 3)
 
 
