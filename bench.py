@@ -272,7 +272,17 @@ def bench_train_steps(extra: dict) -> None:
 
 def main():
     extra = {}
-    rays_per_sec = bench_render(extra)
+    try:
+        rays_per_sec = bench_render(extra)
+    except Exception as e:  # noqa: BLE001 - driver-output insurance
+        # the tiled Pallas path is compile-checked by tests only in
+        # interpret mode; a Mosaic lowering rejection on real hardware
+        # must degrade to the XLA-path number, not lose the round's
+        # bench artifact entirely
+        if os.environ.get("BENCH_TILED", "1") == "0":
+            raise
+        extra["tiled_path_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        rays_per_sec = bench_render(extra, tiled=False)
     if os.environ.get("BENCH_MATRIX", "1") != "0" \
             and "BENCH_ABLATE" not in os.environ:
         # regression matrix (VERDICT r2 #5): the reference-semantics
@@ -288,9 +298,12 @@ def main():
             "c32f32_occ_xla": (32, 32, True, False),
             "c16f16_occ_xla": (16, 16, True, False),
         }.items():
-            matrix[label] = round(bench_render(
-                {}, num_coarse=nc, num_fine=nf, use_occ=occ, tiled=tiled,
-                repeats=2), 1)
+            try:
+                matrix[label] = round(bench_render(
+                    {}, num_coarse=nc, num_fine=nf, use_occ=occ,
+                    tiled=tiled, repeats=2), 1)
+            except Exception as e:  # noqa: BLE001 - keep the artifact
+                matrix[label] = f"{type(e).__name__}: {str(e)[:120]}"
         extra["matrix_rays_per_sec"] = matrix
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         bench_train_steps(extra)
