@@ -1,0 +1,136 @@
+"""First-signal TPU smoke test for every round-3 kernel form.
+
+Runs each Pallas entry at TINY shapes on the real chip so Mosaic
+lowering verdicts arrive in minutes (the measurement batches take
+hours). Exercises:
+  1. bilinear megakernel (batchdec decode, adaptive region dims)
+  2. bicubic megakernel (6-region cubic form)
+  3. non-fused bilinear + bicubic samplers (_tile_gather linear/cubic)
+  4. trainable sampler VJP (forward kernel + XLA backward)
+
+Prints one OK/FAIL line per form; exits nonzero if any fails.
+Usage: python tools/tpu_smoke.py
+"""
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    failures = []
+
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas.tile_sampler import (
+        TileSamplerConfig, tiled_plane_sample_prechunked,
+        tiled_plane_sample_prechunked_bicubic,
+        tiled_plane_sample_trainable)
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"OK   {name}", flush=True)
+        except Exception as e:  # noqa: BLE001 - report all verdicts
+            failures.append(name)
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:400]}",
+                  flush=True)
+            traceback.print_exc(limit=3)
+
+    # shared tiny model + rays (flagship decoder width so the fused
+    # megakernel engages: fused_decoder.supports needs the real config)
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3, compute_dtype="bfloat16")
+    cfg_cubic = TriplaneConfig(proj_combination="avg",
+                               viewdir_proj_combination="concat_pos",
+                               skip_connect_every=3,
+                               plane_interp="bicubic",
+                               compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(0.1 * rng.standard_normal(
+        (3, cfg.num_plane_channels, 64, 64)).astype(np.float32))
+    pv = jnp.asarray(0.1 * rng.standard_normal(
+        (cfg.viewdir_channels, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tc = TileSamplerConfig(tile_rays=64)
+
+    # production from-z entry (prepare_ray_chunks + fused megakernel),
+    # exactly what Experiment.render_eval_image and bench.py run
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.render import (RenderConfig, make_triplane_point_fn,
+                                 render_image)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 1.8
+    H = W = 16
+    ro, rd = get_ray_bundle(H, W, 0.5 * W / np.tan(0.3), jnp.asarray(c2w))
+    rcfg = RenderConfig(num_coarse=8, num_fine=8, perturb=False,
+                        radiance_field_noise_std=0.0, ray_block=256)
+
+    def mega(model_cfg):
+        pf = [make_triplane_point_fn(params, model_cfg, planes, pv, box,
+                                     tile_cfg=tc) for _ in range(2)]
+        out = render_image(pf[0], pf[1], ro, rd, jax.random.PRNGKey(1),
+                           rcfg, near=0.8, far=3.2, tile=8)
+        rgb = np.asarray(out.fine.rgb)
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+        print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
+              flush=True)
+
+    def mega_bilinear():
+        mega(cfg)
+
+    def mega_bicubic():
+        mega(cfg_cubic)
+
+    # chunk-ordered grids for the raw sampler entries
+    gg = rng.uniform(-0.05, 0.05, size=(3, 4, 512, 2)).astype(np.float32)
+    g_c = jnp.asarray(gg + rng.uniform(-0.6, 0.6, size=(3, 4, 1, 2)))
+    small = TileSamplerConfig(tile_rays=256, slab=2, th=24, tw=16, group=2)
+
+    # interpret only off-TPU (CPU dry-runs of this script); the real
+    # smoke signal is interpret=False Mosaic lowering on the chip
+    interp = jax.default_backend() != "tpu"
+
+    def sampler_bilinear():
+        out, ovf = tiled_plane_sample_prechunked(planes, g_c, small,
+                                                 interpret=interp)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def sampler_bicubic():
+        out, ovf = tiled_plane_sample_prechunked_bicubic(
+            planes, g_c, small, interpret=interp)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def trainable_vjp():
+        def loss(p):
+            out, _ = tiled_plane_sample_trainable(p, g_c, small, True,
+                                                  interp)
+            return jnp.sum(out ** 2)
+        gr = jax.grad(loss)(planes)
+        assert np.isfinite(np.asarray(gr)).all()
+
+    check("megakernel bilinear (batchdec)", mega_bilinear)
+    check("megakernel bicubic (6-region)", mega_bicubic)
+    check("sampler bilinear", sampler_bilinear)
+    check("sampler bicubic", sampler_bicubic)
+    check("trainable VJP", trainable_vjp)
+
+    if failures:
+        print("SMOKE FAILED:", failures, flush=True)
+        sys.exit(1)
+    print("SMOKE ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
