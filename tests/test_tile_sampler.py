@@ -220,6 +220,82 @@ def test_bicubic_capacity_boundary_chunk_exact(rng):
     assert err.max() < 5e-2 and err.mean() < 5e-3
 
 
+def test_tiled_fuzz_nonoverflow_chunks_exact(rng):
+    """Property: for RANDOM plane sizes / region dims / chunk spreads,
+    every chunk the overflow predicate declares IN-CAPACITY must match
+    the XLA grid_sample oracle — the clamp bounds and the predicate
+    must agree exactly, for both interps (the bicubic capacity-boundary
+    bug was exactly such a disagreement). Overflowing chunks are
+    allowed to clamp (they are reported); non-overflowing ones are not
+    allowed to deviate beyond bf16 tap/weight noise."""
+    from nvsr_tpu.ops.grid_sample import multi_plane_sample
+    from nvsr_tpu.ops.pallas.tile_sampler import (
+        tiled_plane_sample_prechunked,
+        tiled_plane_sample_prechunked_bicubic)
+    P, C = 3, 8
+    for trial in range(10):
+        H = int(rng.integers(2, 12)) * 8
+        W = int(rng.integers(16, 97))
+        th = int(rng.choice([8, 16, 24, 32]))
+        tw = int(rng.choice([8, 14, 16, 18]))
+        B = int(rng.choice([32, 64]))
+        NC = 6
+        spread = float(rng.uniform(0.01, 0.35))
+        cfg = TileSamplerConfig(tile_rays=B // 2, slab=2, th=th, tw=tw,
+                                group=2)
+        planes = jnp.asarray(
+            rng.standard_normal((P, C, H, W)).astype(np.float32))
+        centers = rng.uniform(-1.1, 1.1, size=(P, NC, 1, 2))
+        g_c = jnp.asarray(np.clip(
+            centers + rng.uniform(-spread, spread, size=(P, NC, B, 2)),
+            -1.4, 1.4).astype(np.float32))
+        for interp, fn in (("bilinear", tiled_plane_sample_prechunked),
+                           ("bicubic",
+                            tiled_plane_sample_prechunked_bicubic)):
+            out, ovf = fn(planes, g_c, cfg, align_corners=True,
+                          interpret=True)
+            ref = multi_plane_sample(planes, g_c.reshape(P, -1, 2),
+                                     mode=interp, align_corners=True)
+            # recompute the per-chunk overflow mask the sampler used
+            if interp == "bilinear":
+                from nvsr_tpu.ops.pallas.tile_sampler import (
+                    YALIGN, _grid_chunk_descriptors, _round_up)
+                Hp = max(_round_up(H, YALIGN), th)
+                xp = np.clip((np.asarray(g_c[..., 0]) + 1) / 2 * (W - 1),
+                             0, W - 1)
+                yp = np.clip((np.asarray(g_c[..., 1]) + 1) / 2 * (H - 1),
+                             0, H - 1)
+                x0 = np.floor(xp).astype(np.int64)
+                y0 = np.floor(yp).astype(np.int64)
+                oy = np.clip(y0.min(-1) // YALIGN * YALIGN, 0, Hp - th)
+                ox = np.clip(x0.min(-1), 0, W - 1)
+                over = ((y0.max(-1) - oy > th - 1)
+                        | (x0.max(-1) + 1 - ox > tw - 1))   # [P, NC]
+            else:
+                from nvsr_tpu.ops.pallas.tile_sampler import (
+                    YALIGN, _round_up)
+                Hp = max(_round_up(H + 2, YALIGN), th)
+                Wp = W + 5 + tw
+                xs = np.clip((np.asarray(g_c[..., 0]) + 1) / 2 * (W - 1),
+                             -1.0, W)
+                ys = np.clip((np.asarray(g_c[..., 1]) + 1) / 2 * (H - 1),
+                             -1.0, H)
+                r = np.floor(ys).astype(np.int64) + 1
+                c0 = np.floor(xs).astype(np.int64) + 1
+                oy = np.clip(r.min(-1) // YALIGN * YALIGN, 0, Hp - th)
+                ox = np.clip(c0.min(-1), 0, Wp - tw)
+                over = ((r.max(-1) - oy > th - 1)
+                        | (c0.max(-1) + 3 - ox > tw - 1))
+            got_frac = float(np.mean(over))
+            assert abs(got_frac - float(ovf)) < 1e-6, \
+                (trial, interp, got_frac, float(ovf))
+            ok = ~np.repeat(over.reshape(P, NC), B, axis=1)  # [P, NC*B]
+            err = np.abs(np.asarray(out) - np.asarray(ref))
+            bad = err[ok].max() if ok.any() else 0.0
+            assert bad < 5e-2, (trial, interp, H, W, th, tw, bad,
+                                got_frac)
+
+
 def test_bicubic_model_forward_tiled_matches(rng):
     """Full triplane forward with plane_interp='bicubic' through the
     tiled path == the XLA gather path (VERDICT r2 missing #4)."""
