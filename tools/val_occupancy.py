@@ -72,8 +72,11 @@ def build_cfg(ws, variant, iters, scene_key="2,128,16", field="blob"):
                # round-3 budget candidate (coarse exists only to place
                # fine samples; with tightened [near, far] 8 strata
                # still localize the surface)
-               "G": (8, 16)}[variant]
-    occupancy = variant in ("B", "D", "T", "U", "V", "G")
+               "G": (8, 16),
+               # H: the aggressive 8+8 floor — halves variant D's
+               # gathers again; only ships if PSNR(H) >= PSNR(A)
+               "H": 8}[variant]
+    occupancy = variant in ("B", "D", "T", "U", "V", "G", "H")
     if variant in ("U", "V"):
         # U/V: flagship-width decoders (128, 4+4 layers, skip 3) so the
         # FUSED decoder kernel engages on the tiled eval path; U evals
