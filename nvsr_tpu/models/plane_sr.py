@@ -102,6 +102,18 @@ class PlaneSRConfig:
     # TrainModels dims — set False to trade memory back for speed
     # (config key super_resolution.model.remat)
     remat: bool = True
+    # checkpoint granularity: 1 = every residual block (max HBM
+    # saving); k>1 = one checkpoint per k-block segment (stores k x the
+    # activations but recomputes each segment only once in the backward
+    # — the sqrt-schedule point between remat=True and remat=False).
+    # Ignored when remat=False. (config key
+    # super_resolution.model.remat_every)
+    remat_every: int = 1
+    # batch all P planes through the conv trunk during TRAINING instead
+    # of the sequential per-plane lax.map (P x the activation HBM, but
+    # one conv stream — pick per exp_sr_budget measurements). Eval
+    # always batches. (config key super_resolution.model.train_batch)
+    train_batch: bool = False
 
     @property
     def required_padding(self) -> int:
@@ -149,6 +161,8 @@ class PlaneSRConfig:
             compute_dtype=model.get("compute_dtype", None),
             tile_size=model.get("tile_size", None),
             remat=model.get("remat", True),
+            remat_every=model.get("remat_every", 1),
+            train_batch=model.get("train_batch", False),
         )
 
 
@@ -284,11 +298,24 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
             _conv(blk["conv1"], h, compute_dtype=cd)), compute_dtype=cd)
         return identity + 0.1 * y
 
-    if cfg.remat:
+    if cfg.remat and cfg.remat_every <= 1:
         block = jax.checkpoint(block)
 
-    for blk in params["blocks"]:
-        h = block(blk, h)
+    if cfg.remat and cfg.remat_every > 1:
+        # segment checkpointing: recompute each k-block segment once in
+        # the backward while storing only one activation per segment
+        def seg(blks, h):
+            for blk in blks:
+                h = block(blk, h)
+            return h
+
+        seg_ckpt = jax.checkpoint(seg)
+        blocks = params["blocks"]
+        for i in range(0, len(blocks), cfg.remat_every):
+            h = seg_ckpt(blocks[i:i + cfg.remat_every], h)
+    else:
+        for blk in params["blocks"]:
+            h = block(blk, h)
     h = _conv(params["conv_mid"], h, compute_dtype=cd)
     for up in params["upscale"]:
         h = _pixel_shuffle_nhwc(_conv(up, h, compute_dtype=cd), 2)
@@ -490,7 +517,7 @@ def apply_plane_sr(params, cfg: PlaneSRConfig, lr_planes, *, train=False,
             # fixed-memory tiled path (exact; see apply_edsr_tiled)
             diff = apply_edsr_tiled(params["inner"], cfg, x,
                                     lr_planes.shape[-2:])
-        elif train:
+        elif train and not cfg.train_batch:
             # sequential per-plane trunk during training: the remat
             # boundaries (one activation per residual block) dominate
             # HBM at production dims; batch-1 cuts that peak P-fold at

@@ -231,3 +231,33 @@ def test_tiled_edsr_matches_full_plane():
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_tile)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_remat_every_and_train_batch_equal_base(rng):
+    """remat_every segments and train_batch are schedule knobs only:
+    values AND grads must equal the per-block-remat lax.map base path
+    (they re-run the same convs in a different order/grouping)."""
+    base_cfg = PlaneSRConfig(in_channels=4, out_channels=4, hidden_size=8,
+                             n_blocks=4, scale_factor=2)
+    params = init_plane_sr_params(jax.random.PRNGKey(0), base_cfg)
+    x = jnp.asarray(rng.standard_normal((3, 4, 6, 5)).astype(np.float32))
+
+    def loss_fn(cfg):
+        def loss(params):
+            y = apply_plane_sr(params, cfg, x, train=True)
+            return jnp.mean(y ** 2)
+        return jax.value_and_grad(loss)
+
+    v0, g0 = loss_fn(base_cfg)(params)
+    for variant in (
+        PlaneSRConfig(**{**base_cfg.__dict__, "remat_every": 3}),
+        PlaneSRConfig(**{**base_cfg.__dict__, "remat": False}),
+        PlaneSRConfig(**{**base_cfg.__dict__, "train_batch": True}),
+        PlaneSRConfig(**{**base_cfg.__dict__, "train_batch": True,
+                         "remat_every": 2}),
+    ):
+        v, g = loss_fn(variant)(params)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
