@@ -270,8 +270,40 @@ def bench_train_steps(extra: dict) -> None:
     time_step(StepFlags(sr_iter=False), None, None, "train_step_lr_s")
 
 
+def _tunnel_up(budget_s: float) -> bool:
+    """True iff the axon tunnel answers a PJRT-init probe within
+    budget_s. jax.devices() HANGS (not errors) when the relay is down
+    or another client holds the serialized tunnel, so the probe runs in
+    a killable subprocess and retries until the budget is spent."""
+    import subprocess
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(240.0, max(30.0, deadline - time.time())),
+                check=True, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                return False
+            time.sleep(30)
+
+
 def main():
     extra = {}
+    wait_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", 900))
+    if wait_s > 0 and not _tunnel_up(wait_s):
+        # emit the artifact line instead of hanging at PJRT init
+        print(json.dumps({
+            "metric": "rays_per_sec_render_flagship_eval",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "error": ("tpu tunnel unreachable: jax.devices() did not "
+                      f"answer within {wait_s:.0f}s (outage or a "
+                      "serialized client holding the tunnel)"),
+        }))
+        return
     try:
         rays_per_sec = bench_render(extra)
     except Exception as e:  # noqa: BLE001 - driver-output insurance
