@@ -66,7 +66,7 @@ def main():
 
     def run(label, *, sr_hidden=256, sr_blocks=32, samples=64,
             sr_iter=True, train_planes=True, tile=0, occ=False,
-            remat=True):
+            remat=True, remat_every=1, train_batch=False):
         step_rays = rays
         if occ:
             # occupancy-tightened sampling (the validated production
@@ -114,7 +114,9 @@ def main():
         if sr_iter:
             sr_cfg = PlaneSRConfig(scale_factor=4, hidden_size=sr_hidden,
                                    n_blocks=sr_blocks,
-                                   compute_dtype="bfloat16", remat=remat)
+                                   compute_dtype="bfloat16", remat=remat,
+                                   remat_every=remat_every,
+                                   train_batch=train_batch)
             sr = init_plane_sr_params(jax.random.PRNGKey(2), sr_cfg)
         rcfg = RenderConfig(num_coarse=samples, num_fine=samples,
                             perturb=True, radiance_field_noise_std=0.2)
@@ -162,6 +164,14 @@ def main():
     maybe("lr_occ16_t8", sr_iter=False, samples=16, occ=True, tile=8)
     maybe("lr_occ16_t16", sr_iter=False, samples=16, occ=True, tile=16)
     maybe("full_occ16", samples=16, occ=True)
+    # SR schedule knobs (PlaneSRConfig.remat_every / .train_batch) at
+    # the full train-step level — the production-adoption A/B for the
+    # exp_sr_budget standalone winners
+    maybe("full_occ16_remat4", samples=16, occ=True, remat_every=4)
+    maybe("full_occ16_batch", samples=16, occ=True, train_batch=True)
+    maybe("full_occ16_batch_r4", samples=16, occ=True, train_batch=True,
+          remat_every=4)
+    maybe("full_occ16_t16", samples=16, occ=True, tile=16)
     maybe("full_occ16_t8", samples=16, occ=True, tile=8)
     maybe("full_occ16_t16", samples=16, occ=True, tile=16)
 
