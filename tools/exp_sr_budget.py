@@ -7,8 +7,10 @@ EDSR 256x32 fwd+bwd is ~0.65 s. At production dims that is ~28 TFLOP
 tool times value_and_grad of the SR forward standalone under layout /
 remat / batching variants to find the lost factor:
 
-  base       shipped path: NCHW, per-block jax.checkpoint, lax.map
-             over planes (batch 1)
+  base       NCHW, per-block jax.checkpoint, lax.map over planes
+             (batch 1). NOTE: production has since moved to NHWC
+             internals (plane_sr._conv) — the shipped path now
+             corresponds to `nhwc1`; `base` measures the old layout.
   batch3     shipped but all 3 planes as one conv batch
   noremat    no jax.checkpoint (stores every block activation)
   remat4     checkpoint every 4th block (sqrt-ish schedule)
