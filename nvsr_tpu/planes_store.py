@@ -208,7 +208,8 @@ class PlaneStore:
             jnp.asarray(arrays["plane_view"])
             if "plane_view" in arrays else None,
             arrays["box"],
-            rank=int(arrays["rank"]) if "rank" in arrays else None,
+            rank=int(np.asarray(arrays["rank"]).reshape(()))
+            if "rank" in arrays else None,
             occ_aabb=arrays.get("occ_aabb"))
         opt_state = None
         if opt_state_template is not None:
