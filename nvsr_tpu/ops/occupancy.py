@@ -13,7 +13,6 @@ improvement over the reference, not a parity behavior.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
