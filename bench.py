@@ -33,6 +33,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# BENCH_PLATFORM=cpu: run the bench program on the host backend (tiny
+# sizes only — for smoke-testing the artifact producer itself when the
+# TPU tunnel is unavailable; see tests/test_bench_smoke.py). Must be
+# set before any array op: the sandbox sitecustomize force-registers
+# the axon backend and jax.devices() HANGS when the relay is down.
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 
 
@@ -281,7 +290,7 @@ def _tunnel_up(budget_s: float) -> bool:
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=min(240.0, max(30.0, deadline - time.time())),
+                timeout=max(1.0, min(240.0, deadline - time.time())),
                 check=True, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL)
             return True
