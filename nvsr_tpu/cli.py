@@ -16,6 +16,15 @@ from __future__ import annotations
 import argparse
 import os
 
+# NVSR_PLATFORM=cpu|tpu: pick the jax backend IN-PROCESS, before any
+# array op. A plain JAX_PLATFORMS env var does not survive environments
+# whose sitecustomize force-registers a remote backend — and when that
+# backend's tunnel is down, PJRT init hangs the whole CLI. Mirrors
+# bench.py's BENCH_PLATFORM knob.
+if os.environ.get("NVSR_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["NVSR_PLATFORM"])
+
 from nvsr_tpu.experiment import Experiment
 from nvsr_tpu.utils.config import get_config
 

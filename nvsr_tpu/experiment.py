@@ -33,7 +33,7 @@ from nvsr_tpu.models.plane_sr import (PlaneSRConfig, apply_plane_sr,
 from nvsr_tpu.models.triplane import (TriplaneConfig, init_decoder_params,
                                       make_rot_mats)
 from nvsr_tpu.ops.geometry import get_ray_bundle
-from nvsr_tpu.ops.rendering import img2mse, mse2psnr
+from nvsr_tpu.ops.rendering import img2mse, mse2psnr, ssim
 from nvsr_tpu.ops.resize import image_inconsistency_loss
 from nvsr_tpu.planes_store import (PlaneStore, PlanesBuffer,
                                    create_scene_planes,
@@ -54,7 +54,7 @@ from nvsr_tpu.utils.logging import ExperimentLogger, RunningScores
 
 RUNNING_MEAN_LOGS = ["psnr", "SR_psnr_gain", "planes_SR", "fine_loss", "rays_per_sec",
                      "fine_psnr", "loss", "coarse_loss", "inconsistency",
-                     "loss_sr", "loss_lr", "im_inconsistency"]
+                     "loss_sr", "loss_lr", "im_inconsistency", "ssim"]
 
 
 def downsampling_offset(ds_factor) -> float:
@@ -1480,6 +1480,10 @@ class Experiment:
                                      jnp.asarray(target)))
                 per[group]["loss"].append(loss)
                 per[group]["psnr"].append(float(mse2psnr(jnp.asarray(loss))))
+                # SSIM: the paper's second headline metric (arXiv
+                # 2212.04666 tables); the reference code logs PSNR only
+                per[group]["ssim"].append(float(ssim(
+                    jnp.asarray(rgb_fine), jnp.asarray(target))))
                 per[group]["target"].append(target)
                 per[group]["sr_scene"].append(sr_scene)
                 if sr_scene:
@@ -1552,6 +1556,10 @@ class Experiment:
                 self.logger.write_scalar(f"{group}/psnr",
                                          float(np.nanmean(g["psnr"])),
                                          write_index)
+                if g.get("ssim"):
+                    self.logger.write_scalar(f"{group}/ssim",
+                                             float(np.nanmean(g["ssim"])),
+                                             write_index)
                 if g.get("coarse_loss"):
                     self.logger.write_scalar(
                         f"{group}/coarse_loss",

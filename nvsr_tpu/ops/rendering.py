@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -98,3 +100,47 @@ def mse2psnr(mse):
     # replace an exactly-zero mse (reference nerf_helpers.py:265-269)
     mse = jnp.where(mse == 0, 1e-5, mse)
     return -10.0 * jnp.log10(mse)
+
+
+def _ssim_window(size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return g / jnp.sum(g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("data_range", "window_size", "sigma"))
+def ssim(pred, target, data_range: float = 1.0,
+         window_size: int = 11, sigma: float = 1.5):
+    """Structural similarity (Wang et al. 2004) of two [H, W, C] images.
+
+    The reference code reports only PSNR (train_nerf.py:688-695), but
+    the paper it implements (arXiv 2212.04666) reports PSNR/SSIM —
+    this is the standard single-scale SSIM those tables use: an 11x11
+    Gaussian window (sigma 1.5), K1=0.01 / K2=0.03, 'valid'
+    convolution, averaged over channels. Separable depthwise convs so
+    XLA maps it onto two small convolutions per moment.
+    """
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    win = _ssim_window(window_size, sigma)
+
+    def blur(img):
+        # [H, W, C] -> depthwise separable gaussian, VALID
+        x = jnp.moveaxis(img, -1, 0)[:, None]            # [C, 1, H, W]
+        kh = win.reshape(1, 1, -1, 1)
+        kw = win.reshape(1, 1, 1, -1)
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        return x[:, 0]                                   # [C, H', W']
+
+    p = jnp.asarray(pred, jnp.float32)
+    t = jnp.asarray(target, jnp.float32)
+    mu_p, mu_t = blur(p), blur(t)
+    var_p = blur(p * p) - mu_p * mu_p
+    var_t = blur(t * t) - mu_t * mu_t
+    cov = blur(p * t) - mu_p * mu_t
+    num = (2.0 * mu_p * mu_t + c1) * (2.0 * cov + c2)
+    den = (mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2)
+    return jnp.mean(num / den)

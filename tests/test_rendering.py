@@ -88,3 +88,39 @@ def test_mse2psnr():
                                rtol=1e-4)
     np.testing.assert_allclose(float(mse2psnr(jnp.asarray(0.0))), 50.0,
                                rtol=1e-5)
+
+
+def _ssim_oracle(p, t, data_range=1.0, size=11, sigma=1.5):
+    """Direct Wang-et-al. definition: explicit sliding windows, one
+    gaussian-weighted moment set per valid position per channel."""
+    x = np.arange(size) - (size - 1) / 2.0
+    g = np.exp(-(x * x) / (2 * sigma * sigma))
+    w = np.outer(g, g)
+    w /= w.sum()
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    H, W, C = p.shape
+    vals = []
+    for c in range(C):
+        for i in range(H - size + 1):
+            for j in range(W - size + 1):
+                a = p[i:i + size, j:j + size, c]
+                b = t[i:i + size, j:j + size, c]
+                mu_a, mu_b = (w * a).sum(), (w * b).sum()
+                va = (w * a * a).sum() - mu_a ** 2
+                vb = (w * b * b).sum() - mu_b ** 2
+                cov = (w * a * b).sum() - mu_a * mu_b
+                vals.append(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                            / ((mu_a ** 2 + mu_b ** 2 + c1)
+                               * (va + vb + c2)))
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_windowed_definition(rng):
+    from nvsr_tpu.ops.rendering import ssim
+    p = rng.random((18, 20, 3)).astype(np.float32)
+    t = np.clip(p + 0.05 * rng.standard_normal((18, 20, 3)), 0, 1
+                ).astype(np.float32)
+    np.testing.assert_allclose(float(ssim(jnp.asarray(p), jnp.asarray(t))),
+                               _ssim_oracle(p, t), rtol=1e-5)
+    np.testing.assert_allclose(float(ssim(jnp.asarray(p), jnp.asarray(p))),
+                               1.0, rtol=1e-6)
