@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -767,6 +768,35 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     w, region[slot, g, p + 3].reshape(T, LANES),
                     preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16))
+    # Per-chunk decode at M=B is the PRODUCTION default: the hoisted
+    # M=group*B "batchdec" decode measured SLOWER both standalone
+    # (242M vs 275M rows/s at fine dims, exp_mega_rate) and in-context
+    # (1.222M vs 1.382M rays/s headline) — the concatenate + the big
+    # single matmul serialize against the per-chunk DMA waits, while
+    # per-chunk decodes overlap the next chunk's region fetch.
+    # NVSR_MEGA_BATCHDEC=1 re-enables the hoist for A/B (trace-time
+    # knob: only takes effect in a fresh process).
+    if os.environ.get("NVSR_MEGA_BATCHDEC", "0") == "0":
+        for g in range(group):
+            sl = pl.ds(g * B, B)
+            if interp == "linear":
+                feats_g = [lerp_pair(rows_p[p][g], tr_[sl, :])
+                           for p, tr_ in enumerate((t0, t1, t2))]
+            else:
+                feats_g = []
+                for p, tr_ in enumerate((t0, t1, t2)):
+                    ra, rb = rows_p[p][g], rows_b[p][g]
+                    wm1, w0, w1, w2 = _cubic_coeffs4(tr_[sl, :])
+                    feats_g.append(
+                        wm1 * rb[:, :DHALF].astype(jnp.float32)
+                        + w0 * ra[:, :DHALF].astype(jnp.float32)
+                        + w1 * ra[:, DHALF:].astype(jnp.float32)
+                        + w2 * rb[:, DHALF:].astype(jnp.float32))
+            fv_g = view_ref[sl, :].astype(jnp.float32)
+            head_g = decode_body(feats_g, fv_g, wref, bref, cfg,
+                                 plan_info)
+            out_ref[sl, :] = head_g[:, :OUT_LANES]
+        return
     if interp == "linear":
         feats = [lerp_pair(jnp.concatenate(rows_p[p], axis=0), tr_[:])
                  for p, tr_ in enumerate((t0, t1, t2))]
