@@ -710,7 +710,8 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
 
 def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                  table_ref, wref, bref, out_ref, region, sem, *, th, tw,
-                 group, B, cfg, plan_info, interp="linear"):
+                 group, B, cfg, plan_info, interp="linear",
+                 batchdec=False):
     from nvsr_tpu.ops.pallas.fused_decoder import (HALF as DHALF,
                                                    OUT_LANES, decode_body,
                                                    lerp_pair)
@@ -741,11 +742,12 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 
     slot = i % 2
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1).astype(jnp.float32)
-    # gather per chunk, but decode ONCE per grid step on the stacked
-    # [group*B, .] features: the kernel is matmul-ISSUE bound, not FLOP
-    # bound (rates flat in T/C, PERF.md) — hoisting the decoder across
-    # the group replaces group x ~13 M=B matmuls with ~13 M=group*B
-    # matmuls per step (A/B'd as "batchdec" in tools/exp_mega_rate.py)
+    # gather AND decode per chunk (the production default): per-chunk
+    # M=B decodes overlap the next chunk's region DMA, which measured
+    # faster than hoisting one M=group*B decode per grid step both
+    # standalone (275M vs 242M rows/s at fine dims, exp_mega_rate) and
+    # in-context (1.382M vs 1.222M rays/s). The hoisted "batchdec"
+    # variant is kept below for A/B (static `batchdec` arg).
     rows_p = [[], [], []]
     rows_b = [[], [], []]                # bicubic outer-tap pairs
     for g in range(group):
@@ -774,9 +776,10 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     # (1.222M vs 1.382M rays/s headline) — the concatenate + the big
     # single matmul serialize against the per-chunk DMA waits, while
     # per-chunk decodes overlap the next chunk's region fetch.
-    # NVSR_MEGA_BATCHDEC=1 re-enables the hoist for A/B (trace-time
-    # knob: only takes effect in a fresh process).
-    if os.environ.get("NVSR_MEGA_BATCHDEC", "0") == "0":
+    # `batchdec` (static, resolved from NVSR_MEGA_BATCHDEC at the
+    # _mega_finish layer and part of the jit cache key) re-enables the
+    # hoist for A/B.
+    if not batchdec:
         for g in range(group):
             sl = pl.ds(g * B, B)
             if interp == "linear":
@@ -817,9 +820,10 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info", "interp",
-                                             "interpret"))
+                                             "interpret", "batchdec"))
 def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
-               group, B, cfg, plan_info, interp="linear", interpret=False):
+               group, B, cfg, plan_info, interp="linear", interpret=False,
+               batchdec=False):
     """fidx/ty arrive PLANE-MAJOR as [3*NC*B, 1] — three index_map
     views per array, so no interleaved per-point packing (and no
     [.., 3]-minor transposes) ever materializes. interp='cubic' fetches
@@ -837,7 +841,8 @@ def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
 
     return pl.pallas_call(
         functools.partial(_mega_kernel, th=th, tw=tw, group=group, B=B,
-                          cfg=cfg, plan_info=plan_info, interp=interp),
+                          cfg=cfg, plan_info=plan_info, interp=interp,
+                          batchdec=batchdec),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
@@ -947,7 +952,9 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     out = _mega_call(table, org, fidx.reshape(-1, 1), ty.reshape(-1, 1),
                      view_c, wpack, bpack, th=th, tw=tw, group=group,
                      B=B, cfg=cfg, plan_info=plan_info, interp=interp,
-                     interpret=interpret)
+                     interpret=interpret,
+                     batchdec=os.environ.get("NVSR_MEGA_BATCHDEC",
+                                             "0") != "0")
     if pad:
         out = out[:NC * B]
     return out, overflow_frac

@@ -3,7 +3,7 @@
 Runs each Pallas entry at TINY shapes on the real chip so Mosaic
 lowering verdicts arrive in minutes (the measurement batches take
 hours). Exercises:
-  1. bilinear megakernel (batchdec decode, adaptive region dims)
+  1. bilinear megakernel (per-chunk decode default, adaptive region dims)
   2. bicubic megakernel (6-region cubic form)
   3. non-fused bilinear + bicubic samplers (_tile_gather linear/cubic)
   4. trainable sampler VJP (forward kernel + XLA backward)
@@ -120,7 +120,7 @@ def main():
         gr = jax.grad(loss)(planes)
         assert np.isfinite(np.asarray(gr)).all()
 
-    check("megakernel bilinear (batchdec)", mega_bilinear)
+    check("megakernel bilinear (per-chunk decode)", mega_bilinear)
     check("megakernel bicubic (6-region)", mega_bicubic)
     check("sampler bilinear", sampler_bilinear)
     check("sampler bicubic", sampler_bicubic)
