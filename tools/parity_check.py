@@ -17,6 +17,25 @@ Pipeline (each phase skipped when its artifact already exists):
 Usage: python tools/parity_check.py [--workdir /tmp/parity_ws]
                                     [--iters 1000] [--size 100] [--tol 0.1]
 Prints one JSON line with both PSNRs and the delta.
+
+Real-data parity (VERDICT r3 #7 — the one-command path for the day the
+reference's datasets/released checkpoints are obtainable):
+
+  python tools/parity_check.py --mode planes \
+      --data /path/to/nerf_synthetic --scene lego \
+      --checkpoint /path/to/released_logdir
+
+--data points at a dataset root (containing scene dirs) or a single
+scene dir (transforms_*.json => Blender-synthetic; poses_bounds.npy =>
+LLFF, group keys get the ',llff' type tag automatically). --checkpoint
+points at a trained reference logdir (config.yml +
+checkpoint.ckpt_best [+ SR_checkpoint.ckpt_best] + planes/*.par_best):
+phase 2 (training) is skipped, the reference runs its own --eval
+images on that checkpoint for the golden, and BOTH programs evaluate
+under the checkpoint's own config.yml (reference eval semantics,
+/root/reference/train_nerf.py:62-72) with logdir/dataset roots
+re-rooted into the workdir. --scene filters the config's scene-group
+lists to the named scene(s) (literal-name lists only).
 """
 
 import argparse
@@ -276,15 +295,107 @@ def ensure_scene(ws, size, name=SCENE):
     return scene_dir
 
 
-def write_cfg(ws, name, logdir, iters, mode="planes"):
+def is_scene_dir(path):
+    return (os.path.isfile(os.path.join(path, "transforms_train.json"))
+            or os.path.isfile(os.path.join(path, "poses_bounds.npy")))
+
+
+def link_real_data(ws, data, scenes):
+    """Link real scene dirs into <ws>/datasets. `data` is a single
+    scene dir or a dataset root containing scene dirs; returns
+    [(name, is_llff)] for the linked scenes."""
+    os.makedirs(os.path.join(ws, "datasets"), exist_ok=True)
+    data = os.path.abspath(data)
+    if is_scene_dir(data):
+        pairs = [(scenes[0] if scenes else os.path.basename(data), data)]
+    else:
+        assert scenes, "--data is a dataset root: name scenes via --scene"
+        for s in scenes:
+            assert is_scene_dir(os.path.join(data, s)), (
+                f"{data}/{s} has neither transforms_train.json nor "
+                "poses_bounds.npy")
+        pairs = [(s, os.path.join(data, s)) for s in scenes]
+    out = []
+    for name, src in pairs:
+        dst = os.path.join(ws, "datasets", name)
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+        out.append((name, os.path.isfile(
+            os.path.join(src, "poses_bounds.npy"))))
+    return out
+
+
+def make_external_render(ckpt_dir, mode, scenes):
+    """Config renderer for released-checkpoint parity: the TRAINED
+    experiment's own config.yml with logdir/dataset roots re-rooted
+    into the workdir (reference eval semantics: the eval config comes
+    from the trained experiment, train_nerf.py:62-72)."""
+    from nvsr_tpu.utils.config import get_config
+    path = os.path.join(ckpt_dir, "config.yml")
+    if not os.path.isfile(path):
+        return None
+
+    def render(logdir, iters):
+        cfg = get_config(path)
+        cfg.experiment["logdir"] = logdir
+        cfg.experiment["id"] = exp_id(mode)
+        cfg.experiment["train_iters"] = iters
+        for k in ("synt", "llff"):
+            if k in cfg.get("dataset", {}):
+                cfg.dataset[k]["root"] = "datasets"
+        for k in ("path", "planes_path"):
+            cfg.get("models", {}).pop(k, None)
+        cfg.get("super_resolution", {}).get("model", {}).pop("path", None)
+        if scenes:
+            # keep only the named scenes (literal-name lists; range
+            # entries like [a,b] are left untouched)
+            for split in list(cfg.dataset.get("dir", {})):
+                groups = cfg.dataset.dir[split]
+                for gk in list(groups):
+                    names = groups[gk]
+                    if not (isinstance(names, list)
+                            and all(isinstance(n, str) for n in names)):
+                        continue
+                    kept = [n for n in names if n in scenes]
+                    if kept:
+                        groups[gk] = kept
+                    else:
+                        del groups[gk]
+        return cfg.dump()
+
+    return render
+
+
+def make_template_render(mode, scenes, llff=False):
+    """Default config renderer: the shipped mini templates, with the
+    analytic scene names swapped for real ones and the ',llff' type tag
+    appended to scene-group keys for LLFF data."""
+    tmpl = {"planes": CONFIG_TMPL, "mip": CONFIG_TMPL_MIP,
+            "sr": CONFIG_TMPL_SR}[mode]
+
+    def render(logdir, iters):
+        text = tmpl.format(logdir=logdir, iters=iters)
+        if scenes:
+            text = text.replace("blob2", scenes[1] if len(scenes) > 1
+                                else scenes[0])
+            text = text.replace("blob", scenes[0])
+        if llff:
+            text = re.sub(r"^(\s+)(\d[\d,]*):", r"\1\2,llff:", text,
+                          flags=re.M)
+        return text
+
+    return render
+
+
+def write_cfg(ws, name, logdir, iters, mode="planes", render=None):
     os.makedirs(os.path.join(ws, "config"), exist_ok=True)
     with open(os.path.join(ws, "config", "local_config.yml"), "w") as f:
         f.write(f"root: {ws}\n")
     path = os.path.join(ws, "config", name)
-    tmpl = {"planes": CONFIG_TMPL, "mip": CONFIG_TMPL_MIP,
-            "sr": CONFIG_TMPL_SR}[mode]
+    if render is None:
+        render = make_template_render(mode, None)
     with open(path, "w") as f:
-        f.write(tmpl.format(logdir=logdir, iters=iters))
+        f.write(render(logdir, iters))
     return path
 
 
@@ -293,10 +404,11 @@ def exp_id(mode):
             "sr": "ref_parity_sr"}[mode]
 
 
-def reference_train_and_eval(ws, iters, mode="planes"):
+def reference_train_and_eval(ws, iters, mode="planes", render=None):
     EXP_ID = exp_id(mode)
     ref_logdir = os.path.join(ws, "logs", EXP_ID)
-    cfg = write_cfg(ws, f"parity_{mode}.yml", "logs", iters, mode)
+    cfg = write_cfg(ws, f"parity_{mode}.yml", "logs", iters, mode,
+                    render=render)
     if not any(f.endswith(".ckpt_best")
                for f in (os.listdir(ref_logdir)
                          if os.path.isdir(ref_logdir) else [])):
@@ -351,7 +463,7 @@ def parse_reference_metrics(results_dir):
     return float(np.mean(per_image)), per_image
 
 
-def convert_to_ours(ws, ref_logdir, mode="planes"):
+def convert_to_ours(ws, ref_logdir, mode="planes", render=None):
     """Reference torch artifacts -> our checkpoint/planes layout under
     <ws>/logs_ours/<exp_id>."""
     from nvsr_tpu.convert import (convert_nerf_mlp, convert_par_file,
@@ -369,7 +481,7 @@ def convert_to_ours(ws, ref_logdir, mode="planes"):
     ckpt = load_torch_checkpoint(
         os.path.join(ref_logdir, "checkpoint.ckpt_best"))
     cfg_path = write_cfg(ws, f"parity_{mode}_ours.yml", "logs_ours",
-                         0, mode)
+                         0, mode, render=render)
     cfg = get_config(cfg_path)
     if mode == "mip":
         state = {
@@ -425,12 +537,13 @@ def convert_to_ours(ws, ref_logdir, mode="planes"):
     return ours_logdir
 
 
-def evaluate_ours(ws, iters, mode="planes"):
+def evaluate_ours(ws, iters, mode="planes", render=None):
     from nvsr_tpu.experiment import Experiment
     from nvsr_tpu.ops.rendering import mse2psnr
     import jax.numpy as jnp
 
-    write_cfg(ws, f"parity_{mode}_ours.yml", "logs_ours", iters, mode)
+    write_cfg(ws, f"parity_{mode}_ours.yml", "logs_ours", iters, mode,
+              render=render)
     from nvsr_tpu.utils.config import get_config
     cfg = get_config(os.path.join(ws, "config", f"parity_{mode}_ours.yml"))
     exp = Experiment(cfg, eval_mode="images",
@@ -453,6 +566,16 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for our eval (numerics "
                          "are platform-independent at these tolerances)")
+    ap.add_argument("--data", default=None,
+                    help="real dataset root or a single scene dir "
+                         "(skips analytic scene generation)")
+    ap.add_argument("--scene", action="append", default=None,
+                    help="scene name(s) under --data (repeatable; SR "
+                         "mode wants two: couple scene + gain scene)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="trained/released reference logdir "
+                         "(config.yml + checkpoint.ckpt_best + planes/)"
+                         " — skips reference training")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -460,14 +583,33 @@ def main():
     ws = os.path.abspath(args.workdir)
     os.makedirs(ws, exist_ok=True)
 
-    ensure_scene(ws, args.size)
-    if args.mode == "sr":
-        # second scene: LR-trained, HR views eval-only (SR-gain scene)
-        ensure_scene(ws, args.size, "blob2")
+    render = None
+    if args.data:
+        linked = link_real_data(ws, args.data, args.scene)
+        scenes = [n for n, _ in linked]
+        llff = any(l for _, l in linked)
+        render = make_template_render(args.mode, scenes, llff=llff)
+    else:
+        scenes = None
+        ensure_scene(ws, args.size)
+        if args.mode == "sr":
+            # second scene: LR-trained, HR views eval-only (SR-gain
+            # scene)
+            ensure_scene(ws, args.size, "blob2")
+    if args.checkpoint:
+        ckpt = os.path.abspath(args.checkpoint)
+        dst = os.path.join(ws, "logs", exp_id(args.mode))
+        os.makedirs(os.path.join(ws, "logs"), exist_ok=True)
+        if not os.path.exists(dst):
+            import shutil
+            shutil.copytree(ckpt, dst)   # eval writes into the logdir
+        ext = make_external_render(ckpt, args.mode, scenes)
+        render = ext or render
     ref_logdir, results, metrics = reference_train_and_eval(
-        ws, args.iters, args.mode)
-    convert_to_ours(ws, ref_logdir, args.mode)
-    _, ours_per_image = evaluate_ours(ws, args.iters, args.mode)
+        ws, args.iters, args.mode, render=render)
+    convert_to_ours(ws, ref_logdir, args.mode, render=render)
+    _, ours_per_image = evaluate_ours(ws, args.iters, args.mode,
+                                      render=render)
     if args.mode == "sr":
         # in SR mode the 'fine'-dir PNG names carry the skip-SR
         # reference PSNRs, not the SR render's — compare the programs'
