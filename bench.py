@@ -229,6 +229,76 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
     return repeats * n_rays / elapsed
 
 
+def bench_psnr_gate(extra: dict) -> None:
+    """Render the committed TRAINED field (assets/gate_scene.pkl,
+    tools/make_gate_scene.py) through BOTH the tiled Pallas path and
+    the XLA path and record their agreement — so a kernel regression
+    that only manifests on structured plane content fails the driver
+    artifact, not just the separate val_occupancy tool (VERDICT r3 #5).
+
+    Emits: psnr_gate_db (tiled vs XLA frame PSNR; gated at
+    BENCH_PSNR_GATE_MIN, default 45 dB), eval_psnr_xla_db /
+    eval_psnr_tiled_db (absolute held-out PSNR vs the stored ground
+    truth — mirrors reference eval semantics, train_utils.py:285)."""
+    import pickle
+
+    from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+    from nvsr_tpu.ops.rendering import mse2psnr
+    from nvsr_tpu.render import (RenderConfig, make_triplane_point_fn,
+                                 render_image)
+    from nvsr_tpu.experiment import downsampling_offset
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+
+    path = os.environ.get(
+        "BENCH_GATE_ASSET",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "assets", "gate_scene.pkl"))
+    if not os.path.isfile(path):
+        extra["psnr_gate_db"] = "missing assets/gate_scene.pkl"
+        return
+    with open(path, "rb") as f:
+        a = pickle.load(f)
+    cfg = a["model_cfg"]
+    planes = jnp.asarray(a["planes_pos"])
+    view = None if a["plane_view"] is None else jnp.asarray(a["plane_view"])
+    ro, rd = get_ray_bundle(
+        a["h"], a["w"], a["focal"], jnp.asarray(a["pose"]),
+        downsampling_offset=downsampling_offset(a["ds_factor"]))
+    rcfg = RenderConfig(num_coarse=a["num_coarse"], num_fine=a["num_fine"],
+                        perturb=False, radiance_field_noise_std=0.0,
+                        white_background=a["white_background"])
+    occ = None if a["occ_aabb"] is None else jnp.asarray(a["occ_aabb"])
+    gt = a["gt"].astype(np.float32) / 255.0
+
+    def frame(tiled: bool):
+        tile = 16 if tiled else None
+        tc = TileSamplerConfig(tile_rays=256) if tiled else None
+        mk = lambda dec: make_triplane_point_fn(
+            jax.tree.map(jnp.asarray, dec), cfg, planes, view,
+            jnp.asarray(a["box"]), tile_cfg=tc)
+        out = render_image(mk(a["decoder_coarse"]), mk(a["decoder_fine"]),
+                           ro, rd, jax.random.PRNGKey(0), rcfg,
+                           near=a["near"], far=a["far"], occ_aabb=occ,
+                           tile=tile)
+        ovf = float((out.aux or {}).get("overflow_frac", 0.0))
+        return np.asarray(out.fine.rgb), ovf
+
+    rgb_x, _ = frame(tiled=False)
+    rgb_t, ovf = frame(tiled=True)
+    gate = float(mse2psnr(np.mean((rgb_t - rgb_x) ** 2)))
+    extra["psnr_gate_db"] = round(gate, 2)
+    extra["psnr_gate_overflow_frac"] = round(ovf, 6)
+    extra["eval_psnr_xla_db"] = round(
+        float(mse2psnr(np.mean((rgb_x - gt) ** 2))), 3)
+    extra["eval_psnr_tiled_db"] = round(
+        float(mse2psnr(np.mean((rgb_t - gt) ** 2))), 3)
+    gate_min = float(os.environ.get("BENCH_PSNR_GATE_MIN", 45.0))
+    if not (gate >= gate_min) or ovf > 0.0:
+        extra["psnr_gate_fail"] = (
+            f"tiled-vs-XLA {gate:.2f} dB < {gate_min} dB "
+            f"or overflow {ovf}")
+
+
 def bench_train_steps(extra: dict) -> None:
     """Production-dims (TrainModels-scale) training iterations:
     4096 rays, 64+64 samples, 3x48x200^2 planes, EDSR 256x32 -> 800^2
@@ -353,6 +423,13 @@ def main():
             except Exception as e:  # noqa: BLE001 - keep the artifact
                 matrix[label] = f"{type(e).__name__}: {str(e)[:120]}"
         extra["matrix_rays_per_sec"] = matrix
+    if os.environ.get("BENCH_PSNR_GATE", "1") != "0" \
+            and "BENCH_ABLATE" not in os.environ:
+        try:
+            bench_psnr_gate(extra)
+        except Exception as e:  # noqa: BLE001 - keep the artifact
+            extra["psnr_gate_db"] = f"{type(e).__name__}: {str(e)[:200]}"
+            extra["psnr_gate_fail"] = "exception"
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         bench_train_steps(extra)
     per_chip_target = 20e6 / 8.0
