@@ -163,6 +163,17 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
     #   NVSR_MEGA_SCRATCH_MB=N   region scratch budget (group size)
     ablate = os.environ.get("BENCH_ABLATE", "")
 
+    # BENCH_MESH=1: run the flagship frame data-parallel over ALL local
+    # devices (('data','model') mesh, model=1) — ready for real
+    # multi-chip hardware; on this 1-chip deployment it exercises the
+    # mesh plumbing at mesh size 1. Rays shard over 'data'; the tiled
+    # path rides render_rays_chunked's shard_map branch.
+    mesh = None
+    if os.environ.get("BENCH_MESH", "0") == "1":
+        from nvsr_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(len(jax.devices()))
+        extra["mesh_devices"] = len(jax.devices())
+
     def _zero_pf(pts, rays_blk, z):
         return jnp.zeros((z.shape[0], z.shape[1], 4))
     _zero_pf.consumes_rays = True
@@ -200,7 +211,7 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
             pf_c = pf_f = _zero_pf
         elif ablate == "zero_fine":
             pf_f = _zero_pf
-        out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg)
+        out = render_rays_chunked(pf_c, pf_f, rays, key, rcfg, mesh=mesh)
         ovf = (out.aux or {}).get("overflow_frac", jnp.float32(0.0))
         return out.fine.rgb, ovf
 

@@ -239,7 +239,8 @@ class PlanesBuffer:
                  steps_per_buffer: int = -1, optimize: bool = True,
                  frozen_scenes=(), scene2saved: Optional[dict] = None,
                  do_when_reshuffling: Callable = None,
-                 rng: np.random.Generator = None, placement=None):
+                 rng: np.random.Generator = None, placement=None,
+                 host_partition=None):
         """placement: optional — resident planes and their Adam states
         are placed with it on load. Either one jax Sharding for every
         scene (e.g. replicated over a data-parallel mesh, SURVEY.md
@@ -247,9 +248,16 @@ class PlanesBuffer:
         DEVICE POOL (§2.10c): each scene's planes+moments live in one
         device's HBM, broadcast over ICI for the compute step — the
         device-memory generalization of the reference's disk buffer
-        (models.py:683-726)."""
+        (models.py:683-726).
+
+        host_partition: optional parallel.host_pool.HostPartition — the
+        multi-host (DCN) pool boundary: placement routes through its
+        explicit broadcast step (owner -> all hosts; a replicated
+        device_put on one process), and disk writes are skipped for
+        scenes this host does not own."""
         self.store = store
         self.placement = placement
+        self.host_partition = host_partition
         self.training_scenes = list(training_scenes)
         self.scene2saved = scene2saved or {s: s for s in self.training_scenes}
         self.frozen_scenes = set(frozen_scenes)
@@ -291,6 +299,12 @@ class PlanesBuffer:
     # -- buffer management --------------------------------------------------
     def _flush(self):
         for scene in sorted(self.dirty):
+            if (self.host_partition is not None
+                    and not self.host_partition.owns(scene)):
+                # multi-host pool: the owner host persists this scene
+                # (all hosts hold identical replicated planes, so the
+                # skip loses nothing)
+                continue
             self.store.save(scene, self.resident[scene],
                             self.opt_states.get(scene))
         self.dirty.clear()
@@ -354,6 +368,15 @@ class PlanesBuffer:
 
     def _place(self, planes: ScenePlanes, opt_state, saved: str):
         sharding = self._scene_sharding(saved)
+        if self.host_partition is not None:
+            # explicit owner->all-hosts broadcast (DCN when
+            # process_count > 1; a replicated device_put on one host)
+            mesh = getattr(sharding, "mesh", None)
+            arrays = {"pos": planes.planes_pos, "view": planes.plane_view,
+                      "opt": opt_state}
+            arrays = self.host_partition.broadcast(arrays, saved, mesh)
+            return replace(planes, planes_pos=arrays["pos"],
+                           plane_view=arrays["view"]), arrays["opt"]
         if sharding is None:
             return planes, opt_state
         planes = replace(

@@ -1,6 +1,9 @@
 """Multi-device sharding tests on the 8-virtual-CPU-device mesh
 (SURVEY.md §4: shard_map/psum logic without a pod)."""
 
+import os
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -127,3 +130,85 @@ def test_data_parallel_render_matches(setup, cpu_devices):
     np.testing.assert_allclose(np.asarray(out.fine.rgb),
                                np.asarray(ref.fine.rgb), rtol=1e-5,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host plane-pool groundwork (SURVEY §2.10c; VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+def test_host_partition_deterministic_and_balanced():
+    from nvsr_tpu.parallel.host_pool import HostPartition, scene_owner
+
+    scenes = [f"scene{i:03d}_DS2_PlRes64_16" for i in range(64)]
+    p0 = HostPartition(scenes, process_index=0, process_count=4)
+    p1 = HostPartition(scenes, process_index=1, process_count=4)
+    # ownership is a deterministic function of the id (crc32, not the
+    # salted hash()) — every host computes the same assignment
+    assert [p0.owns(s) for s in scenes] == \
+           [scene_owner(s, 4) == 0 for s in scenes]
+    owned_sets = [set(HostPartition(scenes, process_index=i,
+                                    process_count=4).owned)
+                  for i in range(4)]
+    assert set().union(*owned_sets) == set(scenes)
+    assert sum(len(s) for s in owned_sets) == len(scenes)  # disjoint
+    bal = p1.balance()
+    assert all(4 <= bal.get(h, 0) <= 28 for h in range(4)), bal
+
+
+def test_host_partition_broadcast_replicates_on_mesh(cpu_devices):
+    from nvsr_tpu.parallel.host_pool import HostPartition
+
+    mesh = make_mesh(8, devices=cpu_devices)
+    part = HostPartition(["a", "b"], process_index=0, process_count=1)
+    tree = {"pos": jnp.arange(24.0).reshape(2, 3, 4), "view": None,
+            "opt": {"m": jnp.ones((3,))}}
+    out = part.broadcast(tree, "a", mesh)
+    np.testing.assert_array_equal(np.asarray(out["pos"]),
+                                  np.asarray(tree["pos"]))
+    assert out["pos"].sharding.mesh.shape == mesh.shape
+    assert out["pos"].sharding.is_fully_replicated
+    assert out["view"] is None
+
+
+def test_planes_buffer_host_partition_skips_foreign_saves(tmp_path,
+                                                          cpu_devices):
+    """Simulated 2-host pool in one process: a buffer holding an owned
+    and a non-owned scene flushes ONLY the owned scene's file; both
+    scenes' planes are placed replicated over the mesh via the explicit
+    broadcast step."""
+    from nvsr_tpu.parallel.host_pool import HostPartition, scene_owner
+    from nvsr_tpu.planes_store import PlaneStore, PlanesBuffer, ScenePlanes
+
+    scenes = ["lego_DS2", "ship_DS2", "mic_DS2", "chair_DS2"]
+    # pick one owned + one foreign scene for simulated host 0
+    owned = [s for s in scenes if scene_owner(s, 2) == 0]
+    foreign = [s for s in scenes if scene_owner(s, 2) == 1]
+    assert owned and foreign, "crc32 split degenerate — change names"
+    pair = [owned[0], foreign[0]]
+
+    store = PlaneStore([str(tmp_path)])
+    box = np.stack([np.full(5, -4.0), np.full(5, 4.0)]).astype(np.float32)
+    for i, s in enumerate(pair):
+        sp = ScenePlanes(np.full((3, 4, 8, 8), float(i + 1),
+                                 np.float32),
+                         np.ones((4, 4, 4), np.float32), box)
+        store.save(s, sp)
+
+    mesh = make_mesh(8, devices=cpu_devices)
+    part = HostPartition(pair, process_index=0, process_count=2)
+    buf = PlanesBuffer(store, pair, lr=1e-2, placement=replicate(mesh),
+                       host_partition=part)
+    buf.draw_scenes()
+    for s in pair:
+        sp = buf.get(s)
+        assert sp.planes_pos.sharding.is_fully_replicated
+    # dirty both; only the owned scene's file may be rewritten
+    mtimes = {s: os.path.getmtime(store.path(s, must_exist=True))
+              for s in pair}
+    time.sleep(0.05)
+    buf.dirty.update(pair)
+    buf._flush()
+    assert os.path.getmtime(store.path(owned[0], must_exist=True)) \
+        >= mtimes[owned[0]]
+    assert os.path.getmtime(store.path(foreign[0], must_exist=True)) \
+        == mtimes[foreign[0]]
