@@ -818,6 +818,164 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     out_ref[:] = head[:, :OUT_LANES]
 
 
+def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
+                    table_ref, wref, bref, out_ref, region, sem, *, th,
+                    tw, group, B, cfg, plan_info, interp="linear",
+                    batchdec=False):
+    """Descriptor-transposed megakernel (round 4).
+
+    fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
+    (plane, grid step), packed [3*nsteps, group*B]) instead of the v1
+    [3*NC*B, 1] columns: a [N, 1] f32 array is (8, 128)-tile padded to
+    128 lanes in both HBM and VMEM, which made the v1 descriptor stream
+    ~128x its logical size (~63 GB of phantom HBM traffic per flagship
+    fine frame — the measured 81 ms wrapper + a third of kernel time;
+    PERF.md round 4). Consequences for the math:
+      * the hat/cubic x-weights are built TRANSPOSED, wT [T, B], from
+        the lane-major row against a dim-0 iota;
+      * the y-lerp FOLDS INTO the weights: w2 = [wT*(1-ty), wT*ty]
+        [T, 2B], one dot_general per chunk-plane contracting dim 0 of
+        both operands -> [2B, 128], and the feature is
+        out[:B, :HALF] + out[B:, HALF:] — gather matmul and y-lerp in a
+        single MXU issue (the kernel is matmul-issue bound), replacing
+        lerp_pair. Cubic keeps its two issues (A/B regions) with the
+        4-tap y-coeffs folded pairwise.
+    Numerics: identical taps/weights to v1 except WHERE the bf16
+    rounding lands — v1 rounds the gathered rows to bf16 then y-lerps
+    in f32; v2 rounds hat*(ty factor) to bf16 and accumulates in f32
+    (one rounding either way, both within the declared bf16-weight
+    semantics)."""
+    from nvsr_tpu.ops.pallas.fused_decoder import (HALF as DHALF,
+                                                   OUT_LANES, decode_body)
+    T = th * tw
+    pp = 3 if interp == "linear" else 6
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(slot, org, g, p):
+        oy = pl.multiple_of(org[0, g, p, 0], YALIGN)
+        ox = pl.multiple_of(org[0, g, p, 1] * LANES, LANES)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
+            region.at[slot, g, p],
+            sem.at[slot, g, p])
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(group):
+            for p in range(pp):
+                dma(0, org_cur, g, p).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for g in range(group):
+            for p in range(pp):
+                dma((i + 1) % 2, org_nxt, g, p).start()
+
+    slot = i % 2
+    rowsT = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0
+                                     ).astype(jnp.float32)
+
+    def dg(w2, reg):
+        return jax.lax.dot_general(w2, reg, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def chunk_feats(g):
+        feats_g = []
+        for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
+            fx = fr[0:1, pl.ds(g * B, B)]                # [1, B]
+            tyv = tr_[0:1, pl.ds(g * B, B)]              # [1, B]
+            if interp == "linear":
+                wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx))
+                w2 = jnp.concatenate([wT * (1.0 - tyv), wT * tyv],
+                                     axis=1).astype(jnp.bfloat16)
+                dma(slot, org_cur, g, p).wait()
+                o2 = dg(w2, region[slot, g, p].reshape(T, LANES))
+                feats_g.append(o2[:B, :DHALF] + o2[B:, DHALF:])
+            else:
+                wT = _cubic_weight(rowsT - fx)
+                cm1, c0_, c1_, c2_ = _cubic_coeffs4(tyv)
+                w2a = jnp.concatenate([wT * c0_, wT * c1_],
+                                      axis=1).astype(jnp.bfloat16)
+                w2b = jnp.concatenate([wT * cm1, wT * c2_],
+                                      axis=1).astype(jnp.bfloat16)
+                dma(slot, org_cur, g, p).wait()
+                a2 = dg(w2a, region[slot, g, p].reshape(T, LANES))
+                dma(slot, org_cur, g, p + 3).wait()
+                b2 = dg(w2b, region[slot, g, p + 3].reshape(T, LANES))
+                feats_g.append(a2[:B, :DHALF] + a2[B:, DHALF:]
+                               + b2[:B, :DHALF] + b2[B:, DHALF:])
+        return feats_g
+
+    if not batchdec:
+        for g in range(group):
+            sl = pl.ds(g * B, B)
+            fv_g = view_ref[sl, :].astype(jnp.float32)
+            head_g = decode_body(chunk_feats(g), fv_g, wref, bref, cfg,
+                                 plan_info)
+            out_ref[sl, :] = head_g[:, :OUT_LANES]
+        return
+    per_g = [chunk_feats(g) for g in range(group)]
+    feats = [jnp.concatenate([per_g[g][p] for g in range(group)], axis=0)
+             for p in range(3)]
+    fv = view_ref[:].astype(jnp.float32)
+    head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+    out_ref[:] = head[:, :OUT_LANES]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
+                                             "cfg", "plan_info", "interp",
+                                             "interpret", "batchdec"))
+def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
+                  group, B, cfg, plan_info, interp="linear",
+                  interpret=False, batchdec=False):
+    """fidx/ty arrive as [3*nsteps, group*B] f32 — ONE lane-major row
+    per (plane, grid step), three index_map views per array (same
+    pattern as v1's plane-major views). The [N, 1]-free layout is the
+    entire point of v2: see _mega_kernel_v2."""
+    from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
+    nsteps = org.shape[0] - 1
+    pp = org.shape[-2]
+    assert pp == (3 if interp == "linear" else 6)
+    assert fidx.shape == (3 * nsteps, group * B), fidx.shape
+
+    def pm_spec(p):
+        return pl.BlockSpec((1, group * B),
+                            lambda i, _p=p: (_p * nsteps + i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_mega_kernel_v2, th=th, tw=tw, group=group, B=B,
+                          cfg=cfg, plan_info=plan_info, interp=interp,
+                          batchdec=batchdec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
+                                       jnp.float32),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i + 1, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pm_spec(0), pm_spec(1), pm_spec(2),
+            pm_spec(0), pm_spec(1), pm_spec(2),
+            pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, pp, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, group, pp)),
+        ],
+        interpret=interpret,
+    )(org, org, fidx, fidx, fidx, ty, ty, ty, view, table, wpack, bpack)
+
+
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info", "interp",
                                              "interpret", "batchdec"))
@@ -949,12 +1107,24 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         [org.reshape(nsteps, group, pp, 2),
          jnp.zeros((1, group, pp, 2), org.dtype)], axis=0)
 
-    out = _mega_call(table, org, fidx.reshape(-1, 1), ty.reshape(-1, 1),
-                     view_c, wpack, bpack, th=th, tw=tw, group=group,
-                     B=B, cfg=cfg, plan_info=plan_info, interp=interp,
-                     interpret=interpret,
-                     batchdec=os.environ.get("NVSR_MEGA_BATCHDEC",
-                                             "0") != "0")
+    batchdec = os.environ.get("NVSR_MEGA_BATCHDEC", "0") != "0"
+    # v2 (descriptor-transposed kernel, see _mega_kernel_v2) is the
+    # default; NVSR_MEGA_V1=1 restores the [N, 1]-descriptor kernel for
+    # A/B. Resolved at trace time (one fresh process per measurement —
+    # same caveat as NVSR_MEGA_BATCHDEC: an outer jit cached before a
+    # toggle won't retrace).
+    if os.environ.get("NVSR_MEGA_V1", "0") == "0":
+        out = _mega_call_v2(
+            table, org, fidx.reshape(3 * nsteps, group * B),
+            ty.reshape(3 * nsteps, group * B), view_c, wpack, bpack,
+            th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
+            interp=interp, interpret=interpret, batchdec=batchdec)
+    else:
+        out = _mega_call(table, org, fidx.reshape(-1, 1),
+                         ty.reshape(-1, 1), view_c, wpack, bpack, th=th,
+                         tw=tw, group=group, B=B, cfg=cfg,
+                         plan_info=plan_info, interp=interp,
+                         interpret=interpret, batchdec=batchdec)
     if pad:
         out = out[:NC * B]
     return out, overflow_frac

@@ -784,6 +784,56 @@ def test_ray_entry_megakernel_matches(rng):
     assert np.abs(np.asarray(out_ray) - np.asarray(out_ref)).mean() < 6e-3
 
 
+def test_megakernel_v2_matches_v1(rng, monkeypatch):
+    """The descriptor-transposed megakernel (v2, default) agrees with
+    the v1 [N,1]-descriptor kernel on both interps: same taps and
+    weights, only the bf16 rounding site differs (v1 rounds gathered
+    rows, v2 rounds the ty-scaled weights)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+
+    for interp in ("bilinear", "bicubic"):
+        cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                             dec_density_layers=4, dec_rgb_layers=4,
+                             skip_connect_every=3, proj_combination="avg",
+                             viewdir_proj_combination="concat_pos",
+                             plane_interp=interp, compute_dtype="bfloat16")
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        planes = jnp.asarray(
+            0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+        plane_view = jnp.asarray(
+            0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+        box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                        [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+        tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=32, tw=18,
+                                     group=2, adaptive_region=False)
+        R, S = 16, 8
+        origin = np.array([0.0, 0.0, 1.8], np.float32)
+        dirs = np.stack(np.meshgrid(np.linspace(-.05, .05, 4),
+                                    np.linspace(-.05, .05, 4)),
+                        -1).reshape(-1, 2)
+        d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+        z = np.broadcast_to(np.linspace(0.8, 3.2, S, dtype=np.float32),
+                            (R, S))
+        args = (params, cfg, planes, plane_view, box,
+                jnp.asarray(np.broadcast_to(origin, (R, 3))),
+                jnp.asarray(d),
+                jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+                jnp.asarray(z))
+
+        monkeypatch.delenv("NVSR_MEGA_V1", raising=False)
+        out_v2, aux2 = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+        monkeypatch.setenv("NVSR_MEGA_V1", "1")
+        out_v1, aux1 = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+        monkeypatch.delenv("NVSR_MEGA_V1", raising=False)
+        assert float(aux1["overflow_frac"]) == float(aux2["overflow_frac"])
+        np.testing.assert_allclose(np.asarray(out_v2), np.asarray(out_v1),
+                                   atol=2e-2, rtol=0)
+        mean_err = np.abs(np.asarray(out_v2) - np.asarray(out_v1)).mean()
+        assert mean_err < 2e-3, (interp, mean_err)
+
+
 def test_rect_tiles_no_overflow_on_flagship_geometry():
     """The bench's 8x16-ray tiles (tile_rays=128) keep zero overflow on
     both passes at both orientations (BENCH_TILE default)."""

@@ -1,4 +1,4 @@
-"""First-signal TPU smoke test for every round-3 kernel form.
+"""First-signal TPU smoke test for every shipped Pallas kernel form.
 
 Runs each Pallas entry at TINY shapes on the real chip so Mosaic
 lowering verdicts arrive in minutes (the measurement batches take
@@ -93,6 +93,20 @@ def main():
     def mega_bicubic():
         mega(cfg_cubic)
 
+    def mega_bilinear_v1():
+        os.environ["NVSR_MEGA_V1"] = "1"
+        try:
+            mega(cfg)
+        finally:
+            os.environ.pop("NVSR_MEGA_V1", None)
+
+    def mega_bicubic_v1():
+        os.environ["NVSR_MEGA_V1"] = "1"
+        try:
+            mega(cfg_cubic)
+        finally:
+            os.environ.pop("NVSR_MEGA_V1", None)
+
     # chunk-ordered grids for the raw sampler entries
     gg = rng.uniform(-0.05, 0.05, size=(3, 4, 512, 2)).astype(np.float32)
     g_c = jnp.asarray(gg + rng.uniform(-0.6, 0.6, size=(3, 4, 1, 2)))
@@ -120,8 +134,10 @@ def main():
         gr = jax.grad(loss)(planes)
         assert np.isfinite(np.asarray(gr)).all()
 
-    check("megakernel bilinear (per-chunk decode)", mega_bilinear)
-    check("megakernel bicubic (6-region)", mega_bicubic)
+    check("megakernel bilinear (v2 descriptor-transposed)", mega_bilinear)
+    check("megakernel bicubic (v2, 6-region)", mega_bicubic)
+    check("megakernel bilinear (v1, [N,1] descriptors)", mega_bilinear_v1)
+    check("megakernel bicubic (v1)", mega_bicubic_v1)
     check("sampler bilinear", sampler_bilinear)
     check("sampler bicubic", sampler_bicubic)
     check("trainable VJP", trainable_vjp)
