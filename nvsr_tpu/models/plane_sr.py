@@ -114,6 +114,16 @@ class PlaneSRConfig:
     # one conv stream — pick per exp_sr_budget measurements). Eval
     # always batches. (config key super_resolution.model.train_batch)
     train_batch: bool = False
+    # convolution lowering: 'xla' = lax.conv_general_dilated; 'mm' =
+    # k^2 shifted dot_generals (pure MXU matmuls, matmul-based
+    # backward). XLA:TPU's batch-1 conv lowering measured ~25% of bf16
+    # MXU peak at these shapes (fwd 178.7 ms for 9.2 TFLOP, PERF.md
+    # round 4); the mm form targets the lost factor. Numerics: each
+    # tap product accumulates in f32 and the sum is rounded once to
+    # compute_dtype — the same one-rounding-per-layer semantics as the
+    # f32-accumulating conv. (config key
+    # super_resolution.model.conv_impl)
+    conv_impl: str = "xla"
 
     @property
     def required_padding(self) -> int:
@@ -163,6 +173,7 @@ class PlaneSRConfig:
             remat=model.get("remat", True),
             remat_every=model.get("remat_every", 1),
             train_batch=model.get("train_batch", False),
+            conv_impl=model.get("conv_impl", "xla"),
         )
 
 
@@ -182,7 +193,7 @@ def _init_conv(key, in_ch: int, out_ch: int, k: int, bias: bool,
     return p
 
 
-def _conv(p, x, padding="VALID", compute_dtype=None):
+def _conv(p, x, padding="VALID", compute_dtype=None, impl="xla"):
     """x: [N,H,W,C] (NHWC — the TPU-native conv layout); weights stay
     OIHW in the pytree (torch layout for ckpt conversion) and are
     transposed to HWIO per call (a few hundred KB, fused away).
@@ -197,14 +208,38 @@ def _conv(p, x, padding="VALID", compute_dtype=None):
     the MXU still accumulates each conv in f32 internally, so the cost
     is one bf16 rounding per layer. (preferred_element_type upcasting
     is avoided: conv's transpose rule rejects mixed-dtype cotangents.)
+
+    impl='mm' (PlaneSRConfig.conv_impl) lowers the conv as k^2 shifted
+    [N*Ho*Wo, I] @ [I, O] dot_generals accumulated in f32 — pure MXU
+    matmuls with a matmul-based autodiff backward, sidestepping
+    XLA:TPU's batch-1 conv lowering (~25% of bf16 peak at production
+    EDSR shapes, PERF.md round 4). Same one-rounding-per-layer
+    numerics as the conv form.
     """
     w = jnp.transpose(p["w"], (2, 3, 1, 0))         # OIHW -> HWIO
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if impl == "mm":
+        k = w.shape[0]
+        if padding != "VALID" and padding != [(0, 0), (0, 0)]:
+            assert not isinstance(padding, str), padding
+            x = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]),
+                            (0, 0)))
+        ho, wo = x.shape[1] - k + 1, x.shape[2] - k + 1
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                xs = x[:, dy:dy + ho, dx:dx + wo, :]
+                r = jax.lax.dot_general(
+                    xs, w[dy, dx], (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = r if acc is None else acc + r
+        y = acc.astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
@@ -280,8 +315,9 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     _conv); entry/exit transpose once.
     """
     cd = cfg.compute_dtype
+    ci = cfg.conv_impl
     h = _conv(params["conv_input"], jnp.transpose(x, (0, 2, 3, 1)),
-              compute_dtype=cd)
+              compute_dtype=cd, impl=ci)
 
     # Each residual block is rematerialized: at production dims
     # (256ch x 32 blocks over a padded 336^2 plane) storing every conv
@@ -295,7 +331,8 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
             m = 2 * (k_sz // 2)
             identity = h[:, m:-m, m:-m, :]
         y = _conv(blk["conv2"], jax.nn.relu(
-            _conv(blk["conv1"], h, compute_dtype=cd)), compute_dtype=cd)
+            _conv(blk["conv1"], h, compute_dtype=cd, impl=ci)),
+            compute_dtype=cd, impl=ci)
         return identity + 0.1 * y
 
     if cfg.remat and cfg.remat_every <= 1:
@@ -316,10 +353,11 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
     else:
         for blk in params["blocks"]:
             h = block(blk, h)
-    h = _conv(params["conv_mid"], h, compute_dtype=cd)
+    h = _conv(params["conv_mid"], h, compute_dtype=cd, impl=ci)
     for up in params["upscale"]:
-        h = _pixel_shuffle_nhwc(_conv(up, h, compute_dtype=cd), 2)
-    return jnp.transpose(_conv(params["conv_output"], h, compute_dtype=cd),
+        h = _pixel_shuffle_nhwc(_conv(up, h, compute_dtype=cd, impl=ci), 2)
+    return jnp.transpose(_conv(params["conv_output"], h, compute_dtype=cd,
+                               impl=ci),
                          (0, 3, 1, 2))
 
 
@@ -447,27 +485,30 @@ def apply_srresnet(params, cfg: PlaneSRConfig, x, train: bool = False):
     (required_padding == 0, reference models.py:1077). Internals run
     NHWC (see _conv); entry/exit transpose once."""
     same = lambda k: [(k // 2, k // 2)] * 2
+    ci = cfg.conv_impl
 
     x = jnp.transpose(x, (0, 2, 3, 1))
-    h1 = _prelu(params["prelu1"], _conv(params["conv1"], x, padding=same(9)))
+    h1 = _prelu(params["prelu1"], _conv(params["conv1"], x, padding=same(9),
+                                        impl=ci))
     h = h1
     for blk in params["blocks"]:
-        y = _conv(blk["conv1"], h, padding=same(3))
+        y = _conv(blk["conv1"], h, padding=same(3), impl=ci)
         if "bn1" in blk:
             y = _bn(blk["bn1"], y, train)
         y = _prelu(blk["prelu"], y)
-        y = _conv(blk["conv2"], y, padding=same(3))
+        y = _conv(blk["conv2"], y, padding=same(3), impl=ci)
         if "bn2" in blk:
             y = _bn(blk["bn2"], y, train)
         h = h + y
-    h2 = _conv(params["conv2"], h, padding=same(3))
+    h2 = _conv(params["conv2"], h, padding=same(3), impl=ci)
     if "bn2" in params:
         h2 = _bn(params["bn2"], h2, train)
     h = h1 + h2
     for up in params["upscale"]:
         h = _prelu(up["prelu"],
-                   _pixel_shuffle_nhwc(_conv(up["conv"], h, padding=same(3)), 2))
-    return jnp.transpose(_conv(params["conv3"], h, padding=same(9)),
+                   _pixel_shuffle_nhwc(_conv(up["conv"], h, padding=same(3),
+                                             impl=ci), 2))
+    return jnp.transpose(_conv(params["conv3"], h, padding=same(9), impl=ci),
                          (0, 3, 1, 2))
 
 

@@ -78,6 +78,13 @@ class StepFlags:
     # plane regions; the positional gathers then ride the Pallas tile
     # sampler in BOTH directions (custom VJP) instead of the per-row
     # XLA gather. None = reference semantics (random rays, XLA path).
+    # MEASURED round 4 (tools/exp_train_budget.py, production dims):
+    # NEUTRAL on the HR/SR step (0.813-0.817 s vs 0.817) and SLOWER on
+    # the LR step (0.042-0.049 s vs 0.040) — the fine pass cannot tile
+    # (rank misalignment, see below) so only the coarse pass rides the
+    # kernel, and pseudo-tile chunk prep eats the gain. No shipped
+    # config enables it; kept for genuinely patch-coherent batches
+    # (consistency iterations) where the ray order is tile-major anyway.
     tile_cfg: Optional[object] = None
 
 

@@ -261,3 +261,37 @@ def test_remat_every_and_train_batch_equal_base(rng):
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g0)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+def test_conv_impl_mm_matches_xla(rng):
+    """conv_impl='mm' (k^2 shifted dot_generals, round 4) matches the
+    XLA conv lowering in values AND grads on both architectures —
+    f32 exactly (both accumulate in f32), bf16 to one-rounding
+    tolerance."""
+    for arch, kw in (("EDSR", dict(n_blocks=3)),
+                     ("SRResNet", dict(n_blocks=2))):
+        base_cfg = PlaneSRConfig(arch=arch, in_channels=4, out_channels=4,
+                                 hidden_size=8, scale_factor=2, **kw)
+        params = init_plane_sr_params(jax.random.PRNGKey(0), base_cfg)
+        x = jnp.asarray(rng.standard_normal((2, 4, 7, 6)).astype(np.float32))
+
+        def loss_fn(cfg):
+            def loss(params):
+                y = apply_plane_sr(params, cfg, x, train=True)
+                return jnp.mean(y ** 2)
+            return jax.value_and_grad(loss)
+
+        v0, g0 = loss_fn(base_cfg)(params)
+        mm_cfg = PlaneSRConfig(**{**base_cfg.__dict__, "conv_impl": "mm"})
+        v, g = loss_fn(mm_cfg)(params)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+        bf_xla = PlaneSRConfig(**{**base_cfg.__dict__,
+                                  "compute_dtype": "bfloat16"})
+        bf_mm = PlaneSRConfig(**{**bf_xla.__dict__, "conv_impl": "mm"})
+        ya = apply_plane_sr(params, bf_xla, x)
+        yb = apply_plane_sr(params, bf_mm, x)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=3e-2, rtol=0)

@@ -150,12 +150,44 @@ def main():
         "nhwc": dict(layout="NHWC", remat_every=4, batch=True),
         "nhwc1": dict(layout="NHWC"),
     }
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else variants
+
+    # shipped-path variants (apply_edsr, NHWC internals, per-plane
+    # lax.map + per-block remat): 'ship' = conv_impl 'xla';
+    # 'ship_mm' = the k^2-shifted-matmul conv lowering (round 4)
+    import dataclasses
+
+    from nvsr_tpu.models.plane_sr import apply_edsr
+
+    def ship_loss(conv_impl):
+        scfg = dataclasses.replace(cfg, conv_impl=conv_impl)
+
+        @jax.jit
+        def f(params, xp):
+            def loss(params):
+                y = jax.lax.map(
+                    lambda p: apply_edsr(params, scfg, p[None])[0], xp)
+                return jnp.mean(y.astype(jnp.float32) ** 2)
+            return jax.value_and_grad(loss)(params)
+        return f
+
+    def ship_fwd(conv_impl):
+        scfg = dataclasses.replace(cfg, conv_impl=conv_impl)
+        return jax.jit(lambda params, xp: jax.lax.map(
+            lambda p: apply_edsr(params, scfg, p[None])[0], xp))
+
+    ship = {"ship": "xla", "ship_mm": "mm"}
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else \
+        list(variants) + list(ship)
     t_fwd = timeit(lambda: fwd_base(params, x=xp))
     print(f"fwd(base)   {t_fwd * 1e3:7.1f} ms", flush=True)
     for name in only:
         try:
-            t = timeit(lambda f=loss_of(variants[name]): f(params, xp))
+            if name in ship:
+                tf = timeit(lambda f=ship_fwd(ship[name]): f(params, xp))
+                print(f"fwd  {name:8s} {tf * 1e3:7.1f} ms", flush=True)
+                t = timeit(lambda f=ship_loss(ship[name]): f(params, xp))
+            else:
+                t = timeit(lambda f=loss_of(variants[name]): f(params, xp))
             print(f"grad {name:8s} {t * 1e3:7.1f} ms", flush=True)
         except Exception as e:  # noqa: BLE001 - report and continue
             print(f"grad {name:8s} FAIL {type(e).__name__}: "
