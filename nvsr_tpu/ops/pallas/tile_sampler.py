@@ -821,7 +821,7 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     table_ref, wref, bref, out_ref, region, sem, *, th,
                     tw, group, B, cfg, plan_info, interp="linear",
-                    batchdec=False):
+                    batchdec=False, packout=False):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -907,6 +907,23 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                + b2[:B, :DHALF] + b2[B:, DHALF:])
         return feats_g
 
+    if packout:
+        # packed output: lanes 8g:8g+8 of one [B, 128] block hold chunk
+        # g's (rgb, sigma) — heads are zero beyond lane OUT_LANES (the
+        # packed head weights/bias are zero-padded), so static lane
+        # rolls compose the group into ONE full-width write. This
+        # replaces group writes into a [N, 8] f32 output whose (8, 128)
+        # tiling pads 16x (~21 GB/frame of phantom output traffic at
+        # flagship fine dims; PERF.md round 4). Requires group <= 16.
+        acc = jnp.zeros((B, 128), jnp.float32)
+        for g in range(group):
+            sl = pl.ds(g * B, B)
+            fv_g = view_ref[sl, :].astype(jnp.float32)
+            head_g = decode_body(chunk_feats(g), fv_g, wref, bref, cfg,
+                                 plan_info)
+            acc = acc + pltpu.roll(head_g, 8 * g, axis=1)
+        out_ref[:] = acc
+        return
     if not batchdec:
         for g in range(group):
             sl = pl.ds(g * B, B)
@@ -925,33 +942,49 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info", "interp",
-                                             "interpret", "batchdec"))
+                                             "interpret", "batchdec",
+                                             "packout"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
-                  interpret=False, batchdec=False):
+                  interpret=False, batchdec=False, packout=False):
     """fidx/ty arrive as [3*nsteps, group*B] f32 — ONE lane-major row
     per (plane, grid step), three index_map views per array (same
     pattern as v1's plane-major views). The [N, 1]-free layout is the
-    entire point of v2: see _mega_kernel_v2."""
+    entire point of v2: see _mega_kernel_v2.
+
+    packout: the group's heads are lane-packed into one [B, 128] block
+    per grid step (chunk g at lanes 8g:8g+8) and the caller unpacks —
+    see _mega_kernel_v2; returns [nsteps*B, 128] instead of [N, 8]."""
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
     nsteps = org.shape[0] - 1
     pp = org.shape[-2]
     assert pp == (3 if interp == "linear" else 6)
     assert fidx.shape == (3 * nsteps, group * B), fidx.shape
+    assert not (packout and batchdec)
+    assert not packout or group <= 16
 
     def pm_spec(p):
         return pl.BlockSpec((1, group * B),
                             lambda i, _p=p: (_p * nsteps + i, 0),
                             memory_space=pltpu.VMEM)
 
+    if packout:
+        out_shape = jax.ShapeDtypeStruct((nsteps * B, 128), jnp.float32)
+        out_spec = pl.BlockSpec((B, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         functools.partial(_mega_kernel_v2, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info, interp=interp,
-                          batchdec=batchdec),
+                          batchdec=batchdec, packout=packout),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=jax.ShapeDtypeStruct((nsteps * group * B, OUT_LANES),
-                                       jnp.float32),
+        out_shape=out_shape,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
@@ -966,8 +999,7 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group * B, OUT_LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, group, pp, th, tw * LANES), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, group, pp)),
@@ -1114,11 +1146,22 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     # same caveat as NVSR_MEGA_BATCHDEC: an outer jit cached before a
     # toggle won't retrace).
     if os.environ.get("NVSR_MEGA_V1", "0") == "0":
+        # packout (see _mega_kernel_v2): lane-packed [nsteps*B, 128]
+        # output instead of the 16x-tile-padded [N, 8]; unpacked here
+        # with one small transpose. A/B knob NVSR_MEGA_PACKOUT=0.
+        packout = (not batchdec and group <= 16
+                   and os.environ.get("NVSR_MEGA_PACKOUT", "1") != "0")
         out = _mega_call_v2(
             table, org, fidx.reshape(3 * nsteps, group * B),
             ty.reshape(3 * nsteps, group * B), view_c, wpack, bpack,
             th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
-            interp=interp, interpret=interpret, batchdec=batchdec)
+            interp=interp, interpret=interpret, batchdec=batchdec,
+            packout=packout)
+        if packout:
+            from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
+            out = out.reshape(nsteps, B, 16, 8)
+            out = jnp.moveaxis(out, 2, 1)[:, :group, :, :OUT_LANES]
+            out = out.reshape(nsteps * group * B, OUT_LANES)
     else:
         out = _mega_call(table, org, fidx.reshape(-1, 1),
                          ty.reshape(-1, 1), view_c, wpack, bpack, th=th,

@@ -100,6 +100,13 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_V1", None)
 
+    def mega_bilinear_v2_nopack():
+        os.environ["NVSR_MEGA_PACKOUT"] = "0"
+        try:
+            mega(cfg)
+        finally:
+            os.environ.pop("NVSR_MEGA_PACKOUT", None)
+
     def mega_bicubic_v1():
         os.environ["NVSR_MEGA_V1"] = "1"
         try:
@@ -134,7 +141,8 @@ def main():
         gr = jax.grad(loss)(planes)
         assert np.isfinite(np.asarray(gr)).all()
 
-    check("megakernel bilinear (v2 descriptor-transposed)", mega_bilinear)
+    check("megakernel bilinear (v2 + packout)", mega_bilinear)
+    check("megakernel bilinear (v2, packout off)", mega_bilinear_v2_nopack)
     check("megakernel bicubic (v2, 6-region)", mega_bicubic)
     check("megakernel bilinear (v1, [N,1] descriptors)", mega_bilinear_v1)
     check("megakernel bicubic (v1)", mega_bicubic_v1)
