@@ -443,6 +443,33 @@ def main():
               f"  {rows / t / 1e6:6.0f}M rows/s", flush=True)
         return
     for mode in modes:
+        if mode == "prod":
+            # the SHIPPED production kernel via _mega_finish (v2 by
+            # default; NVSR_MEGA_V1/NVSR_MEGA_PACKOUT env A/Bs apply)
+            from nvsr_tpu.ops.pallas.tile_sampler import _mega_finish
+            ncp = nsteps * group
+            fidx_p = jnp.moveaxis(
+                ft_c[:, :3].reshape(ncp, B, 3), 2, 0)      # [3, NC, B]
+            ty_p = jnp.moveaxis(
+                ft_c[:, 4:7].reshape(ncp, B, 3), 2, 0)
+            org_p = orgs[:nsteps].reshape(ncp, pp, 2)
+            view_b = view_c.astype(jnp.bfloat16)
+
+            @jax.jit
+            def prod_call(table, org_p, fidx_p, ty_p, view_b, wpack,
+                          bpack):
+                out, _ = _mega_finish(
+                    table, org_p, fidx_p, ty_p, view_b, wpack, bpack,
+                    jnp.float32(0.0), th=th, tw=tw, group=group, B=B,
+                    cfg=cfg, plan_info=plan_info, interpret=False,
+                    interp="cubic" if cubic else "linear")
+                return out
+
+            t = timeit(lambda: prod_call(table, org_p, fidx_p, ty_p,
+                                         view_b, wpack, bpack))
+            print(f"{mode:9s} {t * 1e3:7.2f} ms  "
+                  f"{rows / t / 1e6:6.0f}M rows/s", flush=True)
+            continue
         t = timeit(lambda m=mode: variant_call(
             table, orgs, ft_c, view_c, wpack, bpack, th=th,
             tw=tw, group=group, B=B, cfg=cfg,
