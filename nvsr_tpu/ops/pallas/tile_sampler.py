@@ -883,8 +883,8 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     def chunk_feats(g):
         feats_g = []
         for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
-            fx = fr[0:1, pl.ds(g * B, B)]                # [1, B]
-            tyv = tr_[0:1, pl.ds(g * B, B)]              # [1, B]
+            fx = fr[pl.ds(g, 1), :]                      # [1, B]
+            tyv = tr_[pl.ds(g, 1), :]                    # [1, B]
             if interp == "linear":
                 wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx))
                 w2 = jnp.concatenate([wT * (1.0 - tyv), wT * tyv],
@@ -947,10 +947,11 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False):
-    """fidx/ty arrive as [3*nsteps, group*B] f32 — ONE lane-major row
-    per (plane, grid step), three index_map views per array (same
-    pattern as v1's plane-major views). The [N, 1]-free layout is the
-    entire point of v2: see _mega_kernel_v2.
+    """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
+    (plane, chunk), (group, B) blocks, three index_map views per array
+    (same pattern as v1's plane-major views); group must be a multiple
+    of 8 (Mosaic block tiling). The [N, 1]-free layout is the entire
+    point of v2: see _mega_kernel_v2.
 
     packout: the group's heads are lane-packed into one [B, 128] block
     per grid step (chunk g at lanes 8g:8g+8) and the caller unpacks —
@@ -959,12 +960,18 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
     nsteps = org.shape[0] - 1
     pp = org.shape[-2]
     assert pp == (3 if interp == "linear" else 6)
-    assert fidx.shape == (3 * nsteps, group * B), fidx.shape
+    assert fidx.shape == (3 * nsteps * group, B), fidx.shape
     assert not (packout and batchdec)
     assert not packout or group <= 16
+    # Mosaic block constraint: the last two block dims must divide
+    # (8, 128) or equal the respective array dims — hence per-CHUNK
+    # descriptor rows [3*NC, B] with (group, B) blocks: group % 8 == 0
+    # (rows) and B always equals the array minor dim (lanes). The
+    # [1, group*B] single-row form is rejected on the sublane dim.
+    assert group % 8 == 0, group
 
     def pm_spec(p):
-        return pl.BlockSpec((1, group * B),
+        return pl.BlockSpec((group, B),
                             lambda i, _p=p: (_p * nsteps + i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -1128,6 +1135,21 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                + wpack[:1, :OUT_LANES] * 1e-30)
         return out, overflow_frac
     NC, pp = org.shape[0], org.shape[-2]
+    batchdec = os.environ.get("NVSR_MEGA_BATCHDEC", "0") != "0"
+    # v2 (descriptor-transposed kernel, see _mega_kernel_v2) is the
+    # default; NVSR_MEGA_V1=1 restores the [N, 1]-descriptor kernel for
+    # A/B. Resolved at trace time (one fresh process per measurement —
+    # same caveat as NVSR_MEGA_BATCHDEC: an outer jit cached before a
+    # toggle won't retrace).
+    use_v2 = os.environ.get("NVSR_MEGA_V1", "0") == "0"
+    if use_v2:
+        # v2's descriptor blocks require group % 8 == 0 and B % 128 == 0
+        # (Mosaic block tiling: last two block dims divide (8, 128) or
+        # equal the array dims). Group is pinned to 8 regardless of the
+        # caller's scratch-budget-derived group (region scratch at
+        # group 8 = 8.3 MB bilinear / 16.5 MB cubic, under the kernel's
+        # 100 MB VMEM limit; NVSR_MEGA_SCRATCH_MB applies to v1 only).
+        group = 8
     pad = _round_up(NC, group) - NC
     if pad:
         org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
@@ -1139,21 +1161,15 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         [org.reshape(nsteps, group, pp, 2),
          jnp.zeros((1, group, pp, 2), org.dtype)], axis=0)
 
-    batchdec = os.environ.get("NVSR_MEGA_BATCHDEC", "0") != "0"
-    # v2 (descriptor-transposed kernel, see _mega_kernel_v2) is the
-    # default; NVSR_MEGA_V1=1 restores the [N, 1]-descriptor kernel for
-    # A/B. Resolved at trace time (one fresh process per measurement —
-    # same caveat as NVSR_MEGA_BATCHDEC: an outer jit cached before a
-    # toggle won't retrace).
-    if os.environ.get("NVSR_MEGA_V1", "0") == "0":
+    if use_v2:
         # packout (see _mega_kernel_v2): lane-packed [nsteps*B, 128]
         # output instead of the 16x-tile-padded [N, 8]; unpacked here
         # with one small transpose. A/B knob NVSR_MEGA_PACKOUT=0.
-        packout = (not batchdec and group <= 16
+        packout = (not batchdec
                    and os.environ.get("NVSR_MEGA_PACKOUT", "1") != "0")
         out = _mega_call_v2(
-            table, org, fidx.reshape(3 * nsteps, group * B),
-            ty.reshape(3 * nsteps, group * B), view_c, wpack, bpack,
+            table, org, fidx.reshape(3 * nsteps * group, B),
+            ty.reshape(3 * nsteps * group, B), view_c, wpack, bpack,
             th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
             interp=interp, interpret=interpret, batchdec=batchdec,
             packout=packout)
