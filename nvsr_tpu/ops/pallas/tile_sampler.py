@@ -821,7 +821,8 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     table_ref, wref, bref, out_ref, region, sem, *, th,
                     tw, group, B, cfg, plan_info, interp="linear",
-                    batchdec=False, packout=False):
+                    batchdec=False, packout=False, single=False,
+                    decm=1):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -880,12 +881,29 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
         return jax.lax.dot_general(w2, reg, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
+    # single=True ("v2s", NVSR_MEGA_SINGLE): gather with a single-M
+    # [T, B] weight (halving the folded form's doubled gather MACs) and
+    # broadcast ty across lanes with a rank-1 dot_general (K=1 outer
+    # product), then y-lerp on the VPU. Trades 2x gather FLOPs for
+    # +1 tiny MXU issue + a VPU lerp per chunk-plane — A/B which side
+    # of the FLOP-vs-issue balance wins at production shapes.
+    ones_r = jnp.ones((1, LANES), jnp.float32)
+
     def chunk_feats(g):
         feats_g = []
         for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
             fx = fr[pl.ds(g, 1), :]                      # [1, B]
             tyv = tr_[pl.ds(g, 1), :]                    # [1, B]
-            if interp == "linear":
+            if interp == "linear" and single:
+                wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx)
+                                 ).astype(jnp.bfloat16)
+                dma(slot, org_cur, g, p).wait()
+                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                tyc = dg(tyv, ones_r)            # [B, 128] f32 rank-1
+                feats_g.append(rows[:, :DHALF]
+                               + tyc[:, :DHALF]
+                               * (rows[:, DHALF:] - rows[:, :DHALF]))
+            elif interp == "linear":
                 wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx))
                 w2 = jnp.concatenate([wT * (1.0 - tyv), wT * tyv],
                                      axis=1).astype(jnp.bfloat16)
@@ -915,13 +933,27 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
         # replaces group writes into a [N, 8] f32 output whose (8, 128)
         # tiling pads 16x (~21 GB/frame of phantom output traffic at
         # flagship fine dims; PERF.md round 4). Requires group <= 16.
+        #
+        # decm=q (NVSR_MEGA_DECM) decodes q consecutive chunks per
+        # decode_body issue (M = q*B): between the per-chunk M=B
+        # default and the losing M=group*B batchdec hoist — larger M
+        # amortizes the ~13 decoder matmul issues while still
+        # overlapping region DMA.
+        q = decm
+        assert group % q == 0, (group, q)
         acc = jnp.zeros((B, 128), jnp.float32)
-        for g in range(group):
-            sl = pl.ds(g * B, B)
-            fv_g = view_ref[sl, :].astype(jnp.float32)
-            head_g = decode_body(chunk_feats(g), fv_g, wref, bref, cfg,
-                                 plan_info)
-            acc = acc + pltpu.roll(head_g, 8 * g, axis=1)
+        for g0 in range(0, group, q):
+            if q == 1:
+                feats = chunk_feats(g0)
+            else:
+                per = [chunk_feats(g0 + dq) for dq in range(q)]
+                feats = [jnp.concatenate([per[dq][p] for dq in range(q)],
+                                         axis=0) for p in range(3)]
+            fv = view_ref[pl.ds(g0 * B, q * B), :].astype(jnp.float32)
+            head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+            for dq in range(q):
+                h_dq = head[dq * B:(dq + 1) * B, :] if q > 1 else head
+                acc = acc + pltpu.roll(h_dq, 8 * (g0 + dq), axis=1)
         out_ref[:] = acc
         return
     if not batchdec:
@@ -943,10 +975,11 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info", "interp",
                                              "interpret", "batchdec",
-                                             "packout"))
+                                             "packout", "single", "decm"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
-                  interpret=False, batchdec=False, packout=False):
+                  interpret=False, batchdec=False, packout=False,
+                  single=False, decm=1):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -988,7 +1021,8 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
     return pl.pallas_call(
         functools.partial(_mega_kernel_v2, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info, interp=interp,
-                          batchdec=batchdec, packout=packout),
+                          batchdec=batchdec, packout=packout,
+                          single=single, decm=decm),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1172,7 +1206,9 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             ty.reshape(3 * nsteps * group, B), view_c, wpack, bpack,
             th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
             interp=interp, interpret=interpret, batchdec=batchdec,
-            packout=packout)
+            packout=packout,
+            single=os.environ.get("NVSR_MEGA_SINGLE", "0") != "0",
+            decm=int(os.environ.get("NVSR_MEGA_DECM", "1")))
         if packout:
             from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
             out = out.reshape(nsteps, B, 16, 8)
