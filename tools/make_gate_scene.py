@@ -57,6 +57,10 @@ def main():
         else False
     if not trained:
         exp.run(max_iters=args.iters)
+        # training donates plane/optimizer buffers into the jitted
+        # updates — the post-run Experiment holds deleted arrays.
+        # Reload everything fresh from the checkpoint it just wrote.
+        exp = Experiment(cfg, root_path=ws)
     else:
         print(f"reusing trained logdir {logdir}")
         exp = Experiment(cfg, root_path=ws)  # fresh load from ckpt
