@@ -21,11 +21,21 @@ class RunningScores:
 
     def __init__(self, metrics, groups, maxlens):
         """maxlens: {group: deque length}."""
+        self._maxlens = dict(maxlens)
         self.scores = {
             m: {g: deque(maxlen=maxlens[g]) for g in groups}
             for m in metrics}
 
     def add(self, metric: str, group: str, value: float):
+        # metrics that only fire conditionally (e.g. the tiled path's
+        # overflow_frac, surfaced only when a chunk clamps) register
+        # lazily — a KeyError here killed an eval mid-run (round 4)
+        if metric not in self.scores:
+            self.scores[metric] = {
+                g: deque(maxlen=ml) for g, ml in self._maxlens.items()}
+        if group not in self.scores[metric]:
+            self.scores[metric][group] = deque(
+                maxlen=self._maxlens.get(group, 100))
         self.scores[metric][group].append(value)
 
     def mean(self, metric: str, group: str) -> float:

@@ -273,3 +273,16 @@ def test_plane_coverage_and_jump_start(corpus):
     scenes = buf.jump_start(on=False)
     assert buf.steps_per_buffer == spb_before
     assert set(scenes) == set(buf.cur_scenes)
+
+
+def test_running_scores_lazy_metric_registration():
+    """Conditionally-fired metrics (e.g. tiled_overflow_frac, surfaced
+    only when a chunk clamps at eval) must register lazily — a KeyError
+    here killed a val_occupancy eval mid-run (round 4)."""
+    from nvsr_tpu.utils.logging import RunningScores
+    rs = RunningScores(["loss"], ["validation"], {"validation": 4})
+    rs.add("loss", "validation", 1.0)
+    rs.add("tiled_overflow_frac", "validation", 0.5)   # unregistered
+    rs.add("loss", "new_group", 2.0)                   # unknown group
+    assert rs.mean("tiled_overflow_frac", "validation") == 0.5
+    assert rs.mean("loss", "new_group") == 2.0
