@@ -41,6 +41,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("NVSR_PLATFORM"):  # e.g. cpu export while the
+        # TPU tunnel is busy (export is backend-agnostic given a ckpt)
+        jax.config.update("jax_platforms", os.environ["NVSR_PLATFORM"])
     from val_occupancy import build_cfg, ensure_scene
     from nvsr_tpu.experiment import Experiment
     from nvsr_tpu.ops.rendering import mse2psnr
@@ -50,20 +53,22 @@ def main():
     os.makedirs(ws, exist_ok=True)
     ensure_scene(ws, args.size)
     cfg = build_cfg(ws, "V", args.iters)
-    exp = Experiment(cfg, root_path=ws)
-    logdir = exp.logdir
-    trained = any(f.endswith((".ckpt", ".ckpt_best"))
-                  for f in os.listdir(logdir)) if os.path.isdir(logdir) \
-        else False
+    # trained-ness must be decided BEFORE constructing an Experiment:
+    # the constructor (mirroring reference train_nerf.py:79-95) refuses
+    # a checkpointed logdir unless load_checkpoint="resume" is passed.
+    logdir = os.path.join(ws, cfg.experiment["logdir"],
+                          cfg.experiment.get("id", ""))
+    trained = os.path.isdir(logdir) and any(
+        ".ckpt" in f for f in os.listdir(logdir))
     if not trained:
-        exp.run(max_iters=args.iters)
-        # training donates plane/optimizer buffers into the jitted
-        # updates — the post-run Experiment holds deleted arrays.
-        # Reload everything fresh from the checkpoint it just wrote.
         exp = Experiment(cfg, root_path=ws)
+        exp.run(max_iters=args.iters)
     else:
         print(f"reusing trained logdir {logdir}")
-        exp = Experiment(cfg, root_path=ws)  # fresh load from ckpt
+    # training donates plane/optimizer buffers into the jitted updates —
+    # a post-run Experiment holds deleted arrays. Load fresh from the
+    # checkpoint either way.
+    exp = Experiment(cfg, load_checkpoint="resume", root_path=ws)
 
     scene_id = exp.evaluation_sequences[0]
     planes = exp.planes_buffer.load_scene(scene_id, load_best=False)
