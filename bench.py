@@ -23,6 +23,7 @@ iterations so training-path regressions are driver-visible (VERDICT r1
 weak #8).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -281,11 +282,14 @@ def bench_psnr_gate(extra: dict) -> None:
     occ = None if a["occ_aabb"] is None else jnp.asarray(a["occ_aabb"])
     gt = a["gt"].astype(np.float32) / 255.0
 
-    def frame(tiled: bool):
-        tile = 16 if tiled else None
-        tc = TileSamplerConfig(tile_rays=256) if tiled else None
+    def frame(tc, tile):
+        # mirror production eval (experiment._point_fns_for_eval): the
+        # tiled path substitutes bf16 compute so the FUSED megakernel
+        # (and its hybrid overflow repair) serves the render
+        mcfg = cfg if tc is None else dataclasses.replace(
+            cfg, compute_dtype="bfloat16")
         mk = lambda dec: make_triplane_point_fn(
-            jax.tree.map(jnp.asarray, dec), cfg, planes, view,
+            jax.tree.map(jnp.asarray, dec), mcfg, planes, view,
             jnp.asarray(a["box"]), tile_cfg=tc)
         out = render_image(mk(a["decoder_coarse"]), mk(a["decoder_fine"]),
                            ro, rd, jax.random.PRNGKey(0), rcfg,
@@ -294,8 +298,19 @@ def bench_psnr_gate(extra: dict) -> None:
         ovf = float((out.aux or {}).get("overflow_frac", 0.0))
         return np.asarray(out.fine.rgb), ovf
 
-    rgb_x, _ = frame(tiled=False)
-    rgb_t, ovf = frame(tiled=True)
+    rgb_x, _ = frame(None, None)
+    # the production tiled-eval ladder (experiment.render_eval_image):
+    # default 16x16 tiles, then compact 8x8/slab-1/full-region tiles
+    rgb_t, ovf = frame(TileSamplerConfig(tile_rays=256), 16)
+    extra["psnr_gate_config"] = "default"
+    if ovf > 0.0:
+        rgb_t2, ovf2 = frame(
+            TileSamplerConfig(tile_rays=64, slab=1,
+                              adaptive_region=False,
+                              repair_frac=0.125), 8)
+        if ovf2 < ovf:
+            rgb_t, ovf = rgb_t2, ovf2
+            extra["psnr_gate_config"] = "compact"
     gate = float(mse2psnr(np.mean((rgb_t - rgb_x) ** 2)))
     extra["psnr_gate_db"] = round(gate, 2)
     extra["psnr_gate_overflow_frac"] = round(ovf, 6)

@@ -833,6 +833,12 @@ class Experiment:
                             tiled=True):
         """Build (coarse, fine) point fns for a scene at eval time.
 
+        `tiled` is False (XLA path), True (default tiled config), or
+        "compact" (the escalation step of the tiled-eval ladder:
+        8x8-ray tiles, slab 1, full regions — max footprint headroom
+        for geometry outside the default envelope, e.g. low-res planes
+        with large occupancy boxes; see render_eval_image).
+
         Cached per (scene_id, skip_sr, tiled) within one evaluate() pass
         so the plane SR runs once per scene, not once per eval image
         (the reference's SR_planes cache, models.py:892-925)."""
@@ -893,6 +899,11 @@ class Experiment:
             or "df" not in self.decoder_opt.params
             else self.decoder_opt.params["df"])
         tile_cfg = self.eval_tile_cfg(scene_id) if tiled else None
+        if tiled == "compact" and tile_cfg is not None:
+            import dataclasses as _dc
+            tile_cfg = _dc.replace(tile_cfg, tile_rays=64, slab=1,
+                                   adaptive_region=False,
+                                   repair_frac=0.125)
         model_cfg = self.model_cfg
         if tile_cfg is not None and model_cfg.compute_dtype is None:
             # THE documented bf16 substitution site: the tiled eval
@@ -1017,11 +1028,7 @@ class Experiment:
             planes = self.planes_buffer.load_scene(
                 scene_id,
                 load_best=not self.planes_buffer.optimize)
-        tile = self.eval_tile_shape() \
-            if self.eval_tile_cfg(scene_id) is not None else None
-        pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
-                                              skip_sr=skip_sr,
-                                              tiled=tile is not None)
+        tiled_ok = self.eval_tile_cfg(scene_id) is not None
         scene_type = self.dataset.scene_types.get(
             scene_id.replace("_train", ""), "synt")
         sc_cfg = self.cfg.dataset[scene_type]
@@ -1030,35 +1037,60 @@ class Experiment:
                 "models.coarse.plane_stats", False):
             self._update_plane_coverage(scene_id, planes, ro, rd, sc_cfg,
                                         rcfg)
-        self.key, k = jax.random.split(self.key)
-        out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
-                           near=sc_cfg["near"], far=sc_cfg["far"],
-                           no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
-                           mesh=self.mesh,
-                           occ_aabb=self._occ_aabb_for(planes), tile=tile)
-        if tile is not None and out.aux:
-            # the tiled path's safety net: if any chunk's footprint
-            # exceeded the static region capacity it was nearest-cell
-            # clamped — the render is approximate with no other signal,
-            # so re-render this view through the exact XLA path (the
-            # builder was burned by exactly this silent failure mode:
-            # 67% of fine chunks clamped, PERF.md round 2)
-            of = float(out.aux.get("overflow_frac", 0.0))
-            if of > 0.0:
-                print(f"[eval] tiled-gather overflow_frac={of:.4f} on "
-                      f"{scene_id} view {img_idx}; falling back to the "
-                      "XLA gather path for this render")
-                pf_c, pf_f = self._point_fns_for_eval(
-                    scene_id, planes, skip_sr=skip_sr, tiled=False)
-                self.key, k = jax.random.split(self.key)
-                out = render_image(
-                    pf_c, pf_f, ro, rd, k, rcfg,
-                    near=sc_cfg["near"], far=sc_cfg["far"],
-                    no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
-                    mesh=self.mesh, occ_aabb=self._occ_aabb_for(planes))
-                out = out._replace(aux={**(out.aux or {}),
-                                        "overflow_frac": of,
-                                        "tiled_fallback": 1.0})
+
+        # The tiled path's safety net is an escalation LADDER: if any
+        # chunk's footprint exceeds the static region capacity it is
+        # nearest-cell clamped — the render is approximate with no
+        # other signal (the builder was burned by exactly this silent
+        # failure mode: 67% of fine chunks clamped, PERF.md round 2).
+        # Step 1 retries with maximum footprint headroom (8x8-ray
+        # tiles, slab 1, full regions — no depth-motion term, so only
+        # a tile's own on-plane extent can clamp); step 2 is the exact
+        # XLA path. The step that served is cached per scene (and
+        # cleared when the scene's occupancy box updates) so converged
+        # low-res-plane scenes keep riding the kernel instead of
+        # re-probing every view (round-4 finding: trained 128^2-plane
+        # scenes with large occupancy boxes overflow the default
+        # envelope at slab 4 — tools/exp_gate_overflow.py).
+        ladder = [(True, self.eval_tile_shape()),
+                  ("compact", (8, 8)),
+                  (False, None)]
+        plans = getattr(self, "_tiled_eval_plan", None)
+        if plans is None:
+            plans = self._tiled_eval_plan = {}
+        start = plans.get(scene_id, 0) if tiled_ok else 2
+        first_overflow = 0.0
+        for step in range(start, 3):
+            tiled, tile = ladder[step]
+            pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
+                                                  skip_sr=skip_sr,
+                                                  tiled=tiled)
+            self.key, k = jax.random.split(self.key)
+            out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
+                               near=sc_cfg["near"], far=sc_cfg["far"],
+                               no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
+                               mesh=self.mesh,
+                               occ_aabb=self._occ_aabb_for(planes),
+                               tile=tile)
+            if not tiled:
+                break
+            of = float((out.aux or {}).get("overflow_frac", 0.0))
+            if of == 0.0:
+                break
+            if step == start:
+                first_overflow = of
+            print(f"[eval] tiled-gather overflow_frac={of:.4f} on "
+                  f"{scene_id} view {img_idx}; escalating to "
+                  f"{'compact tiles' if step == 0 else 'the XLA path'} "
+                  "for this scene")
+        if tiled_ok:
+            plans[scene_id] = step
+            if step > 0 or first_overflow > 0.0:
+                out = out._replace(aux={
+                    **(out.aux or {}),
+                    "overflow_frac": first_overflow,
+                    "tiled_compact": 1.0 if step == 1 else 0.0,
+                    "tiled_fallback": 1.0 if step == 2 else 0.0})
         return out, img
 
     # ------------------------------------------------------------------
@@ -1111,6 +1143,9 @@ class Experiment:
         if last is not None and iteration - last < occ["update_every"]:
             return
         self._occ_last_update[scene_id] = iteration
+        # a new occupancy box changes chunk footprints — let the tiled
+        # eval ladder re-probe this scene from the fast default
+        getattr(self, "_tiled_eval_plan", {}).pop(scene_id, None)
         if occ["mode"] == "surface":
             self._commit_surface_aabb(scene_id, occ)
             return

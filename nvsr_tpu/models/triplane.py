@@ -482,6 +482,58 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     return out.reshape(r, s, 4)
 
 
+def _repair_overflow_chunks(params, cfg, planes_pos, box, origins,
+                            directions, z_vals, vp_ray, mask, res,
+                            tile_cfg, *, member, rot_mats,
+                            plane_resolution=None):
+    """Hybrid overflow repair: re-evaluate up to ceil(repair_frac * NC)
+    clamped chunks EXACTLY through the XLA point path and scatter the
+    results over the kernel output.
+
+    Fine-pass importance-sampled ranks diverge across a tile at depth
+    silhouettes, so on converged fields a few %% of chunks exceed any
+    static region envelope (round-4 study, tools/exp_gate_overflow.py)
+    — the repaired render is exact everywhere while ~95%% of points
+    keep riding the megakernel. Same per-point math as the XLA eval
+    path (reference grid_sample semantics, models.py:303-309); the
+    returned scalar is the RESIDUAL overflow fraction (clamped chunks
+    beyond the repair budget — 0.0 means the render is exact)."""
+    import math
+
+    r, s = z_vals.shape
+    tr, sl = tile_cfg.tile_rays, tile_cfg.slab
+    nt, ns = r // tr, s // sl
+    NC = nt * ns
+    K = min(NC, max(1, math.ceil(NC * tile_cfg.repair_frac)))
+    scores = mask.astype(jnp.float32)
+    _, idx = jax.lax.top_k(scores, K)                       # [K] distinct
+    valid = jnp.take(mask, idx)                             # [K] bool
+    t, ss = idx // ns, idx % ns
+    ray_ids = t[:, None] * tr + jnp.arange(tr)[None, :]     # [K, tr]
+    zcols = ss[:, None] * sl + jnp.arange(sl)[None, :]      # [K, sl]
+    ro = jnp.take(origins, ray_ids, axis=0)                 # [K, tr, 3]
+    rd = jnp.take(directions, ray_ids, axis=0)
+    z = z_vals[ray_ids[:, :, None], zcols[:, None, :]]      # [K, tr, sl]
+    pts = ro[:, :, None, :] + rd[:, :, None, :] * z[..., None]
+    vp = None
+    if vp_ray is not None:
+        cv = vp_ray.shape[-1]
+        vp = jnp.broadcast_to(
+            jnp.take(vp_ray, ray_ids, axis=0)[:, :, None, :],
+            (K, tr, sl, cv)).reshape(K * tr * sl, cv)
+    out = apply_triplane_points(
+        params, cfg, planes_pos, box, pts.reshape(-1, 3), vp,
+        member=member, noise_key=None,
+        plane_resolution=plane_resolution, rot_mats=rot_mats)
+    out = out.reshape(K, tr, sl, 4).astype(res.dtype)
+    cur = res[ray_ids[:, :, None], zcols[:, None, :]]       # [K,tr,sl,4]
+    upd = jnp.where(valid[:, None, None, None], out, cur)
+    res = res.at[ray_ids[:, :, None], zcols[:, None, :]].set(upd)
+    repaired = jnp.sum(valid.astype(jnp.float32))
+    total = jnp.sum(scores)
+    return res, (total - repaired) / NC
+
+
 def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                                r, s, *, member, noise_key, rot_mats,
                                tile_cfg, tile_tables, origins=None,
@@ -574,7 +626,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
             # from rays — no [.., 3]-minor points or [P, N, 2] grids
             # ever materialize (17.6 ms/4096 chunks saved, PERF.md r3)
             from nvsr_tpu.ops.pallas.tile_sampler import tiled_render_rays
-            out8, overflow = tiled_render_rays(
+            out8, overflow, ovf_mask = tiled_render_rays(
                 planes_pos, origins, directions, z_vals, view64, wpack,
                 bpack, plan_info, cfg, tile_cfg, box[:, :3], rot,
                 align_corners=cfg.align_corners, interpret=interpret,
@@ -592,8 +644,15 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 view64, wpack, bpack, plan_info, cfg, tile_cfg,
                 align_corners=cfg.align_corners, interpret=interpret,
                 tables=tile_tables)
-        return from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
-                           nt, tr, ns, sl).reshape(r, s, 4), overflow
+            ovf_mask = None
+        res = from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
+                          nt, tr, ns, sl).reshape(r, s, 4)
+        if ovf_mask is not None and tile_cfg.repair_frac > 0:
+            res, overflow = _repair_overflow_chunks(
+                params, cfg, planes_pos, box, origins, directions,
+                z_vals, vp_ray, ovf_mask, res, tile_cfg, member=member,
+                rot_mats=rot, plane_resolution=plane_resolution)
+        return res, overflow
     if origins is not None:
         z_c = to_chunks(z_vals[..., None], nt, tr, ns, sl)  # [NC, B, 1]
         o_c = jnp.broadcast_to(

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 
 import numpy as np
@@ -104,6 +105,16 @@ class TileSamplerConfig:
     # valid; overflow_frac + the eval XLA fallback are the safety net
     # on geometry outside the measured envelope.
     adaptive_region: bool = True
+    # hybrid overflow repair: when > 0, up to ceil(repair_frac * NC)
+    # clamped chunks per call are re-evaluated EXACTLY through the XLA
+    # point path (gather + full decoder) and scattered over the kernel
+    # output; overflow_frac then reports only the residual beyond the
+    # budget. 0 disables (zero overhead — the flagship envelope never
+    # clamps). Used by the tiled-eval ladder's compact step: fine-pass
+    # importance-sampled ranks diverge at depth silhouettes, so a few
+    # %% of chunks exceed ANY static envelope on converged fields
+    # (round-4 study, tools/exp_gate_overflow.py).
+    repair_frac: float = 0.0
 
     def __post_init__(self):
         assert self.th % 8 == 0, "region rows must align to sublanes"
@@ -700,8 +711,10 @@ def prepare_ray_chunks(origins, directions, z_vals, box3, rot, plane_hw,
         oxs = oxs + oxs
     org = jnp.stack([jnp.stack(oys, axis=-1),
                      jnp.stack(oxs, axis=-1)], axis=-1)  # [NC, pp, 2]
-    overflow_frac = jnp.mean(jnp.stack(ovfs).astype(jnp.float32))
-    return (org, jnp.stack(fidxs), jnp.stack(tys), overflow_frac)
+    # [P, NC] per-(plane, chunk) overflow flags: callers derive both the
+    # scalar frac (mean) and the per-chunk ANY mask (the round-4 hybrid
+    # repair routes clamped chunks through the exact XLA point path)
+    return (org, jnp.stack(fidxs), jnp.stack(tys), jnp.stack(ovfs))
 
 
 # ---------------------------------------------------------------------------
@@ -1207,8 +1220,15 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
             interp=interp, interpret=interpret, batchdec=batchdec,
             packout=packout,
-            single=os.environ.get("NVSR_MEGA_SINGLE", "0") != "0",
-            decm=int(os.environ.get("NVSR_MEGA_DECM", "1")))
+            # shipped defaults (round-4 hardware A/B, PERF.md): the
+            # single-M gather + q=4 chunk decode measured 1.772M vs
+            # 1.430M rays/s for the folded/per-chunk form on the
+            # flagship frame. decm is clamped to a divisor of the
+            # runtime group (scratch budget / slab adaptation can
+            # shrink it below the config's 8).
+            single=os.environ.get("NVSR_MEGA_SINGLE", "1") != "0",
+            decm=math.gcd(group, max(
+                1, int(os.environ.get("NVSR_MEGA_DECM", "4")))))
         if packout:
             from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
             out = out.reshape(nsteps, B, 16, 8)
@@ -1386,7 +1406,9 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
     (PERF.md round 3). interp='cubic' runs the bicubic megakernel
     (6 region fetches against the stacked A/B table, cubic x weights,
     4-tap y combine in-kernel; ~2x the bilinear gather cost). Returns
-    ([R*S, OUT_LANES] f32 chunk-major, overflow_frac)."""
+    ([R*S, OUT_LANES] f32 chunk-major, overflow_frac,
+    ovf_mask [NC] bool — per-chunk ANY-plane overflow, consumed by the
+    hybrid repair in triplane._apply_triplane_rays_tiled)."""
     P, C, H, W = planes.shape
     assert P == 3
     th, tw = config.th, config.tw
@@ -1400,11 +1422,14 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         table, Hp, Wp = build_pair_tables_bicubic(planes, config)
     else:
         table, Hp, Wp = build_pair_tables(planes, config)
-    org, fidx, ty, overflow_frac = prepare_ray_chunks(
+    org, fidx, ty, ovf_pc = prepare_ray_chunks(
         origins, directions, z_vals, box3, rot, (H, W), Hp, config,
         align_corners=align_corners, interp=interp, Wp=Wp)
+    overflow_frac = jnp.mean(ovf_pc.astype(jnp.float32))
     B = config.chunk_points
-    return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
-                        overflow_frac, th=th, tw=tw, group=group, B=B,
-                        cfg=model_cfg, plan_info=plan_info,
-                        interpret=interpret, interp=interp)
+    out, overflow_frac = _mega_finish(
+        table, org, fidx, ty, view_c, wpack, bpack,
+        overflow_frac, th=th, tw=tw, group=group, B=B,
+        cfg=model_cfg, plan_info=plan_info,
+        interpret=interpret, interp=interp)
+    return out, overflow_frac, jnp.any(ovf_pc, axis=0)

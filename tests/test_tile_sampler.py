@@ -381,8 +381,10 @@ def test_bicubic_megakernel_matches_xla(rng):
 
 def test_experiment_overflow_falls_back_to_xla(tmp_path):
     """When a tiled eval render clamps (overflow_frac > 0), the
-    production eval re-renders through the exact XLA path and tags the
-    fallback in aux — the safety net VERDICT r2 demanded."""
+    production eval escalates down the ladder (compact tiles, then the
+    exact XLA path), tags the step that served in aux, and caches the
+    per-scene plan — the safety net VERDICT r2 demanded, made a ladder
+    in round 4 (tools/exp_gate_overflow.py)."""
     import sys
     sys.path.insert(0, "tests")
     from helpers_synth import write_blender_scene
@@ -411,13 +413,22 @@ def test_experiment_overflow_falls_back_to_xla(tmp_path):
     out, _ = exp.render_eval_image(scene, img_idx)
     aux = out.aux or {}
     assert float(aux.get("overflow_frac", 0.0)) > 0.0
-    assert float(aux.get("tiled_fallback", 0.0)) == 1.0
-    # and the fallback output equals a straight XLA render
+    compact = float(aux.get("tiled_compact", 0.0))
+    fallback = float(aux.get("tiled_fallback", 0.0))
+    assert compact == 1.0 or fallback == 1.0
+    # the serving step is cached per scene for the next view
+    assert exp._tiled_eval_plan[scene] == (1 if compact else 2)
+    # and the served output equals a straight XLA render (exactly for
+    # the XLA fallback; to tiled bf16 tolerance for the compact step)
     cfg.nerf.validation["tiled_gather"] = False
     exp._eval_pf_cache = {}
     out_x, _ = exp.render_eval_image(scene, img_idx)
-    np.testing.assert_allclose(np.asarray(out.fine.rgb),
-                               np.asarray(out_x.fine.rgb), atol=1e-4)
+    a, b = np.asarray(out.fine.rgb), np.asarray(out_x.fine.rgb)
+    if fallback:
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    else:
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=0)
+        assert np.abs(a - b).mean() < 5e-3
 
 
 def test_experiment_bicubic_tiled_eval_matches(tmp_path):
@@ -782,6 +793,84 @@ def test_ray_entry_megakernel_matches(rng):
     np.testing.assert_allclose(np.asarray(out_ray), np.asarray(out_ref),
                                atol=6e-2, rtol=0)
     assert np.abs(np.asarray(out_ray) - np.asarray(out_ref)).mean() < 6e-3
+
+
+def test_hybrid_overflow_repair_exact(rng):
+    """repair_frac > 0: clamped chunks are re-evaluated through the
+    exact XLA point path and scattered over the kernel output — with a
+    full budget the render matches the XLA path even when (nearly)
+    every chunk exceeds the region envelope, and the returned overflow
+    is the RESIDUAL (0 when everything was repaired). A starved budget
+    leaves a nonzero residual (the ladder's escalation signal)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    assert fused_decoder.supports(cfg)
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    # tiny regions: most chunks clamp; full repair budget fixes all
+    tile_cfg = TileSamplerConfig(tile_rays=16, slab=4, th=8, tw=6,
+                                 group=2, adaptive_region=False,
+                                 repair_frac=1.0)
+
+    R, S = 16, 8
+    origin = np.array([0.0, 0.0, 1.8], np.float32)
+    dirs = np.stack(np.meshgrid(np.linspace(-.4, .4, 4),
+                                np.linspace(-.4, .4, 4)),
+                    -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.broadcast_to(np.linspace(0.8, 3.2, S,
+                                    dtype=np.float32), (R, S))
+    origins = jnp.asarray(np.broadcast_to(origin, (R, 3)))
+    directions = jnp.asarray(d)
+    viewdirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    pts = jnp.asarray(origin + d[:, None, :] * z[..., None])
+
+    out_ref = apply_triplane_rays(params, cfg, planes, plane_view, box,
+                                  pts, viewdirs)
+    # sanity: without repair these wide rays do clamp
+    import dataclasses
+    out_raw, aux_raw = apply_triplane_rays_from_z(
+        params, cfg, planes, plane_view, box, origins, directions,
+        viewdirs, jnp.asarray(z),
+        tile_cfg=dataclasses.replace(tile_cfg, repair_frac=0.0))
+    assert float(aux_raw["overflow_frac"]) > 0.2
+    raw_max = np.abs(np.asarray(out_raw) - np.asarray(out_ref)).max()
+    assert raw_max > 1e-3
+
+    # a starved budget (1 chunk of NC=2) leaves a residual — and
+    # confirms BOTH chunks overflow on this geometry
+    out_res, aux_res = apply_triplane_rays_from_z(
+        params, cfg, planes, plane_view, box, origins, directions,
+        viewdirs, jnp.asarray(z),
+        tile_cfg=dataclasses.replace(tile_cfg, repair_frac=1e-6))
+    np.testing.assert_allclose(float(aux_res["overflow_frac"]), 0.5)
+
+    # full budget: every chunk re-evaluated through the SAME XLA point
+    # path the reference render uses — agreement down to bf16 rounding
+    # (the two calls batch points differently), far beyond the kernel's
+    # clamp error, and zero residual
+    out_rep, aux = apply_triplane_rays_from_z(
+        params, cfg, planes, plane_view, box, origins, directions,
+        viewdirs, jnp.asarray(z), tile_cfg=tile_cfg)
+    assert float(aux["overflow_frac"]) == 0.0
+    rep_max = np.abs(np.asarray(out_rep) - np.asarray(out_ref)).max()
+    assert rep_max < 5e-4, (rep_max, raw_max)
+    assert rep_max < raw_max / 4
 
 
 def test_megakernel_v2_matches_v1(rng, monkeypatch):
