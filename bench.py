@@ -135,7 +135,13 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
         spec = os.environ.get("BENCH_TILE", "16x16")
         th_, _, tw_ = spec.partition("x")
         tile = (int(th_), int(tw_ or th_))
-        tile_cfg = TileSamplerConfig(tile_rays=tile[0] * tile[1])
+        # BENCH_GROUP: regions per megakernel grid step (default 8).
+        # Values > 11 also need NVSR_MEGA_SCRATCH_MB raised — the
+        # runtime group is min(config.group, scratch budget); packout
+        # caps at 16.
+        tile_cfg = TileSamplerConfig(
+            tile_rays=tile[0] * tile[1],
+            group=int(os.environ.get("BENCH_GROUP", 8)))
         ro = tile_ray_maps(ro, tile)
         rd = tile_ray_maps(rd, tile)
     rays = make_ray_bundle(ro, rd, 2.0, 6.0, use_viewdirs=True)

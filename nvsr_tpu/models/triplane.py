@@ -610,15 +610,27 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 and tile_cfg.tile_rays * slab <= 512)
     if fused_ok:
         cv = vp_ray.shape[-1]
-        # bf16 view features: the decoder matmul casts to bf16 anyway,
-        # and this halves the largest per-point kernel input (HBM and
-        # VMEM traffic both)
-        view64 = jnp.broadcast_to(
-            jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
-                    ).astype(jnp.bfloat16
-                             ).reshape(nt, 1, tr, 1, fused_decoder.HALF),
-            (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
-                n_pts, fused_decoder.HALF)
+        from nvsr_tpu.ops.pallas.tile_sampler import (LANES as _LANES,
+                                                      viewtile_ok)
+        vtile = origins is not None and viewtile_ok(s, tile_cfg)
+        if vtile:
+            # per-RAY view rows: the kernel broadcasts rays -> points
+            # in VMEM (viewtile) — skips materializing the [N, 64]
+            # per-point stream (34 ms/frame of wrapper at flagship fine
+            # dims, PERF.md round-4 batch 8) and cuts the kernel's view
+            # reads ~8x
+            view64 = jnp.pad(vp_ray, ((0, 0), (0, _LANES - cv))
+                             ).astype(jnp.bfloat16)
+        else:
+            # bf16 view features: the decoder matmul casts to bf16
+            # anyway, and this halves the largest per-point kernel
+            # input (HBM and VMEM traffic both)
+            view64 = jnp.broadcast_to(
+                jnp.pad(vp_ray, ((0, 0), (0, fused_decoder.HALF - cv))
+                        ).astype(jnp.bfloat16).reshape(
+                            nt, 1, tr, 1, fused_decoder.HALF),
+                (nt, ns, tr, sl, fused_decoder.HALF)).reshape(
+                    n_pts, fused_decoder.HALF)
         wpack, bpack, plan_info = fused_decoder.pack_decoder_weights(
             params, cfg, member)
         if origins is not None:
@@ -632,7 +644,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 align_corners=cfg.align_corners, interpret=interpret,
                 tables=tile_tables,
                 interp="cubic" if cfg.plane_interp == "bicubic"
-                else "linear")
+                else "linear", view_tile=vtile)
         else:
             from nvsr_tpu.ops.pallas.tile_sampler import \
                 tiled_render_chunked

@@ -182,6 +182,28 @@ def choose_region_dims(num_samples: int, plane_res: int, slab: int,
     return min(th, config.th), min(tw, config.tw)
 
 
+def viewtile_ok(num_samples: int, config: TileSamplerConfig) -> bool:
+    """True when the megakernel can take PER-RAY view rows ([R, 128]
+    bf16, tile-coherent ray order) and broadcast them to points
+    in-kernel ("viewtile") instead of the caller materializing the
+    [N, 64] per-point view stream — 34 ms/frame of wrapper time plus
+    8x the kernel's view bytes at flagship fine dims (PERF.md round-4
+    batch 8). Requires the v2 kernel (grid-step group pinned to 8) and
+    grid steps that align to image-tile boundaries: with ns = S / slab
+    chunks per tile, either 8 | ns (several steps per tile) or ns | 8
+    (whole tiles per step)."""
+    if os.environ.get("NVSR_MEGA_V1", "0") != "0":
+        return False
+    if os.environ.get("NVSR_MEGA_BATCHDEC", "0") != "0":
+        return False
+    if os.environ.get("NVSR_MEGA_VIEWTILE", "1") == "0":
+        return False
+    if config.tile_rays % 8:        # view block sublane dim must be 8k
+        return False
+    ns = num_samples // config.slab
+    return ns % 8 == 0 or 8 % ns == 0
+
+
 def build_pair_tables(planes, config: TileSamplerConfig):
     """[P, C, H, W] planes -> stacked vertical-pair table.
 
@@ -835,16 +857,17 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     table_ref, wref, bref, out_ref, region, sem, *, th,
                     tw, group, B, cfg, plan_info, interp="linear",
                     batchdec=False, packout=False, single=False,
-                    decm=1):
+                    decm=1, viewtile=False, slab=1, vt=1):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
     (plane, grid step), packed [3*nsteps, group*B]) instead of the v1
-    [3*NC*B, 1] columns: a [N, 1] f32 array is (8, 128)-tile padded to
-    128 lanes in both HBM and VMEM, which made the v1 descriptor stream
-    ~128x its logical size (~63 GB of phantom HBM traffic per flagship
-    fine frame — the measured 81 ms wrapper + a third of kernel time;
-    PERF.md round 4). Consequences for the math:
+    [3*NC*B, 1] columns: a [N, 1] f32 operand is (8, 128)-tile padded
+    to 128 lanes as VMEM tiles inside the BlockSpec pipeline (~128x the
+    logical bytes through the kernel's DMA engine — narrow XLA arrays
+    in HBM are compact, tools/exp_layout.py). v1 -> v2 measured
+    148 -> 186M rows/s standalone (MODES=prod; PERF.md round 4).
+    Consequences for the math:
       * the hat/cubic x-weights are built TRANSPOSED, wT [T, B], from
         the lane-major row against a dim-0 iota;
       * the y-lerp FOLDS INTO the weights: w2 = [wT*(1-ty), wT*ty]
@@ -901,6 +924,31 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     # +1 tiny MXU issue + a VPU lerp per chunk-plane — A/B which side
     # of the FLOP-vs-issue balance wins at production shapes.
     ones_r = jnp.ones((1, LANES), jnp.float32)
+
+    if viewtile:
+        # per-RAY view rows: view_ref is ONE [vt*tr_rays, 128] bf16
+        # block per grid step (vt whole image tiles) — points of chunk
+        # g are rays of tile g // (group//vt), each repeated `slab`
+        # times (point order r*slab + j). Broadcast in VMEM instead of
+        # materializing the [N, 64] per-point stream in HBM (34 ms per
+        # flagship fine frame + 8x the kernel view bytes; PERF.md
+        # round-4 batch 8). The (tr, slab, 128) -> (B, 128) reshape is
+        # minor-dim-128, the one 3D->2D form Mosaic accepts.
+        tr_rays = B // slab
+        nsl = group // vt
+
+        def fv_range(g0, q):
+            fvs = []
+            for g in range(g0, g0 + q):
+                v = view_ref[pl.ds((g // nsl) * tr_rays, tr_rays), :]
+                v = jnp.broadcast_to(
+                    v.reshape(tr_rays, 1, LANES),
+                    (tr_rays, slab, LANES)).reshape(B, LANES)
+                fvs.append(v[:, :DHALF].astype(jnp.float32))
+            return fvs[0] if q == 1 else jnp.concatenate(fvs, axis=0)
+    else:
+        def fv_range(g0, q):
+            return view_ref[pl.ds(g0 * B, q * B), :].astype(jnp.float32)
 
     def chunk_feats(g):
         feats_g = []
@@ -962,7 +1010,7 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                 per = [chunk_feats(g0 + dq) for dq in range(q)]
                 feats = [jnp.concatenate([per[dq][p] for dq in range(q)],
                                          axis=0) for p in range(3)]
-            fv = view_ref[pl.ds(g0 * B, q * B), :].astype(jnp.float32)
+            fv = fv_range(g0, q)
             head = decode_body(feats, fv, wref, bref, cfg, plan_info)
             for dq in range(q):
                 h_dq = head[dq * B:(dq + 1) * B, :] if q > 1 else head
@@ -971,11 +1019,10 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
         return
     if not batchdec:
         for g in range(group):
-            sl = pl.ds(g * B, B)
-            fv_g = view_ref[sl, :].astype(jnp.float32)
-            head_g = decode_body(chunk_feats(g), fv_g, wref, bref, cfg,
-                                 plan_info)
-            out_ref[sl, :] = head_g[:, :OUT_LANES]
+            sl_ = pl.ds(g * B, B)
+            head_g = decode_body(chunk_feats(g), fv_range(g, 1), wref,
+                                 bref, cfg, plan_info)
+            out_ref[sl_, :] = head_g[:, :OUT_LANES]
         return
     per_g = [chunk_feats(g) for g in range(group)]
     feats = [jnp.concatenate([per_g[g][p] for g in range(group)], axis=0)
@@ -988,11 +1035,12 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
                                              "cfg", "plan_info", "interp",
                                              "interpret", "batchdec",
-                                             "packout", "single", "decm"))
+                                             "packout", "single", "decm",
+                                             "viewtile", "slab", "ns"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
-                  single=False, decm=1):
+                  single=False, decm=1, viewtile=False, slab=1, ns=1):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1021,6 +1069,29 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                             lambda i, _p=p: (_p * nsteps + i, 0),
                             memory_space=pltpu.VMEM)
 
+    if viewtile:
+        # per-RAY view rows [tiles*tr_rays, 128] bf16: one block of
+        # `vt` whole image tiles per grid step (see _mega_kernel_v2).
+        # Valid iff grid steps align to tile boundaries: group % ns == 0
+        # (vt = group/ns tiles per step) or ns % group == 0 (vt = 1,
+        # ns/group steps per tile).
+        assert not batchdec
+        tr_rays = B // slab
+        if group % ns == 0:
+            vt = group // ns
+            vmap = lambda i: (i, 0)
+        else:
+            assert ns % group == 0, (ns, group)
+            vt = 1
+            k = ns // group
+            vmap = lambda i: (i // k, 0)
+        vspec = pl.BlockSpec((vt * tr_rays, LANES), vmap,
+                             memory_space=pltpu.VMEM)
+    else:
+        vt = 1
+        vspec = pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
     if packout:
         out_shape = jax.ShapeDtypeStruct((nsteps * B, 128), jnp.float32)
         out_spec = pl.BlockSpec((B, 128), lambda i: (i, 0),
@@ -1035,7 +1106,8 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         functools.partial(_mega_kernel_v2, th=th, tw=tw, group=group, B=B,
                           cfg=cfg, plan_info=plan_info, interp=interp,
                           batchdec=batchdec, packout=packout,
-                          single=single, decm=decm),
+                          single=single, decm=decm, viewtile=viewtile,
+                          slab=slab, vt=vt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1047,8 +1119,7 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                          memory_space=pltpu.SMEM),
             pm_spec(0), pm_spec(1), pm_spec(2),
             pm_spec(0), pm_spec(1), pm_spec(2),
-            pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            vspec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1159,11 +1230,18 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
 
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                  overflow_frac, *, th, tw, group, B, cfg, plan_info,
-                 interpret, interp="linear"):
+                 interpret, interp="linear", view_tile=False, ns=None,
+                 slab=1):
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave); org [NC, 3, 2] (linear) or [NC, 6, 2]
-    (cubic: A then B table origins)."""
+    (cubic: A then B table origins).
+
+    view_tile: view_c is PER-RAY [R, 128] bf16 (tile-coherent ray
+    order) instead of the per-point [N, HALF] stream; requires
+    viewtile_ok(...) at the caller and the v2 kernel (see
+    _mega_kernel_v2). ns = chunks per image tile, slab = samples per
+    chunk row."""
     import os
     stub = os.environ.get("NVSR_MEGA_STUB", "0")
     # "1": stub every megakernel call; "fine": stub only calls against
@@ -1177,7 +1255,9 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
         dep = ((fidx[0] + fidx[1] + fidx[2] + ty[0]).reshape(-1, 1)
                * 1e-6 + org.sum() * 1e-9)
-        out = (view_c[:, :OUT_LANES].astype(jnp.float32) + dep
+        vterm = (view_c[:1, :OUT_LANES].astype(jnp.float32) if view_tile
+                 else view_c[:, :OUT_LANES].astype(jnp.float32))
+        out = (vterm + dep
                + table[:1, :OUT_LANES].astype(jnp.float32) * 1e-30
                + wpack[:1, :OUT_LANES] * 1e-30)
         return out, overflow_frac
@@ -1197,12 +1277,24 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # group 8 = 8.3 MB bilinear / 16.5 MB cubic, under the kernel's
         # 100 MB VMEM limit; NVSR_MEGA_SCRATCH_MB applies to v1 only).
         group = 8
+    view_tile = view_tile and use_v2 and not batchdec
     pad = _round_up(NC, group) - NC
     if pad:
         org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
         fidx = jnp.pad(fidx, ((0, 0), (0, pad), (0, 0)))
         ty = jnp.pad(ty, ((0, 0), (0, pad), (0, 0)))
-        view_c = jnp.pad(view_c, ((0, pad * B), (0, 0)))
+        if not view_tile:
+            view_c = jnp.pad(view_c, ((0, pad * B), (0, 0)))
+    if view_tile:
+        # pad the per-ray view rows to whole view BLOCKS: padded grid
+        # steps index tiles beyond the scene's nt
+        tr_rays = B // slab
+        vt = group // ns if group % ns == 0 else 1
+        tiles = -(-(NC + pad) // ns)
+        rows = _round_up(tiles, vt) * tr_rays
+        if rows > view_c.shape[0]:
+            view_c = jnp.pad(view_c,
+                             ((0, rows - view_c.shape[0]), (0, 0)))
     nsteps = (NC + pad) // group
     org = jnp.concatenate(
         [org.reshape(nsteps, group, pp, 2),
@@ -1221,14 +1313,15 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             interp=interp, interpret=interpret, batchdec=batchdec,
             packout=packout,
             # shipped defaults (round-4 hardware A/B, PERF.md): the
-            # single-M gather + q=4 chunk decode measured 1.772M vs
-            # 1.430M rays/s for the folded/per-chunk form on the
-            # flagship frame. decm is clamped to a divisor of the
-            # runtime group (scratch budget / slab adaptation can
-            # shrink it below the config's 8).
+            # single-M gather + whole-group q=8 decode measured 1.849M
+            # vs 1.430M rays/s for the folded/per-chunk form on the
+            # flagship frame (decm 4: 1.772M). decm is clamped to a
+            # divisor of the runtime group.
             single=os.environ.get("NVSR_MEGA_SINGLE", "1") != "0",
             decm=math.gcd(group, max(
-                1, int(os.environ.get("NVSR_MEGA_DECM", "4")))))
+                1, int(os.environ.get("NVSR_MEGA_DECM", "8")))),
+            viewtile=view_tile, slab=slab,
+            ns=ns if view_tile else 1)
         if packout:
             from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
             out = out.reshape(nsteps, B, 16, 8)
@@ -1395,7 +1488,8 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
                       bpack, plan_info, model_cfg,
                       config: TileSamplerConfig, box3, rot,
                       align_corners: bool = True, interpret: bool = False,
-                      tables=None, interp: str = "linear"):
+                      tables=None, interp: str = "linear",
+                      view_tile: bool = False):
     """Gather + decode straight from rays: the fastest production entry.
 
     origins/directions [R, 3] tile-coherent; z_vals [R, S]; view_c
@@ -1431,5 +1525,6 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         table, org, fidx, ty, view_c, wpack, bpack,
         overflow_frac, th=th, tw=tw, group=group, B=B,
         cfg=model_cfg, plan_info=plan_info,
-        interpret=interpret, interp=interp)
+        interpret=interpret, interp=interp, view_tile=view_tile,
+        ns=z_vals.shape[1] // config.slab, slab=config.slab)
     return out, overflow_frac, jnp.any(ovf_pc, axis=0)

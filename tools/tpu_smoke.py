@@ -114,6 +114,14 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_V1", None)
 
+    def mega_bilinear_noviewtile():
+        # per-point [N, 64] view stream (the pre-round-4 form)
+        os.environ["NVSR_MEGA_VIEWTILE"] = "0"
+        try:
+            mega(cfg)
+        finally:
+            os.environ.pop("NVSR_MEGA_VIEWTILE", None)
+
     # chunk-ordered grids for the raw sampler entries
     gg = rng.uniform(-0.05, 0.05, size=(3, 4, 512, 2)).astype(np.float32)
     g_c = jnp.asarray(gg + rng.uniform(-0.6, 0.6, size=(3, 4, 1, 2)))
@@ -141,7 +149,9 @@ def main():
         gr = jax.grad(loss)(planes)
         assert np.isfinite(np.asarray(gr)).all()
 
-    check("megakernel bilinear (v2 + packout)", mega_bilinear)
+    check("megakernel bilinear (v2 + packout + viewtile)", mega_bilinear)
+    check("megakernel bilinear (v2, per-point view stream)",
+          mega_bilinear_noviewtile)
     check("megakernel bilinear (v2, packout off)", mega_bilinear_v2_nopack)
     check("megakernel bicubic (v2, 6-region)", mega_bicubic)
     check("megakernel bilinear (v1, [N,1] descriptors)", mega_bilinear_v1)
