@@ -611,8 +611,10 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     if fused_ok:
         cv = vp_ray.shape[-1]
         from nvsr_tpu.ops.pallas.tile_sampler import (LANES as _LANES,
+                                                      packray_ok,
                                                       viewtile_ok)
         vtile = origins is not None and viewtile_ok(s, tile_cfg)
+        pray = vtile and packray_ok(s, tile_cfg)
         if vtile:
             # per-RAY view rows: the kernel broadcasts rays -> points
             # in VMEM (viewtile) — skips materializing the [N, 64]
@@ -644,7 +646,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 align_corners=cfg.align_corners, interpret=interpret,
                 tables=tile_tables,
                 interp="cubic" if cfg.plane_interp == "bicubic"
-                else "linear", view_tile=vtile)
+                else "linear", view_tile=vtile, pack_ray=pray)
         else:
             from nvsr_tpu.ops.pallas.tile_sampler import \
                 tiled_render_chunked
@@ -657,8 +659,15 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 align_corners=cfg.align_corners, interpret=interpret,
                 tables=tile_tables)
             ovf_mask = None
-        res = from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
-                          nt, tr, ns, sl).reshape(r, s, 4)
+            pray = False
+        if pray:
+            # packray: the kernel already wrote ray-major rows
+            # ([r, s*4], tile-coherent) — a contiguous reshape, no
+            # transposes
+            res = out8.reshape(r, s, 4)
+        else:
+            res = from_chunks(out8[:, :4].reshape(nt * ns, tr * sl, 4),
+                              nt, tr, ns, sl).reshape(r, s, 4)
         if ovf_mask is not None and tile_cfg.repair_frac > 0:
             res, overflow = _repair_overflow_chunks(
                 params, cfg, planes_pos, box, origins, directions,

@@ -204,6 +204,19 @@ def viewtile_ok(num_samples: int, config: TileSamplerConfig) -> bool:
     return ns % 8 == 0 or 8 % ns == 0
 
 
+def packray_ok(num_samples: int, config: TileSamplerConfig) -> bool:
+    """True when the megakernel can ALSO write ray-major output
+    ("packray": [R, S*4] f32, all samples of a ray in lanes) instead of
+    the chunk-major point stream — eliminating both post-kernel
+    transposes (packout unpack + from_chunks, 54 ms/flagship fine frame
+    standalone; PERF.md round-4 batch 8) and halving output bytes.
+    Requires the viewtile alignment (same tile <-> grid-step structure)
+    and all of a ray's samples fitting one 128-lane register."""
+    if os.environ.get("NVSR_MEGA_PACKRAY", "1") == "0":
+        return False
+    return viewtile_ok(num_samples, config) and num_samples * 4 <= 128
+
+
 def build_pair_tables(planes, config: TileSamplerConfig):
     """[P, C, H, W] planes -> stacked vertical-pair table.
 
@@ -857,7 +870,8 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     table_ref, wref, bref, out_ref, region, sem, *, th,
                     tw, group, B, cfg, plan_info, interp="linear",
                     batchdec=False, packout=False, single=False,
-                    decm=1, viewtile=False, slab=1, vt=1):
+                    decm=1, viewtile=False, slab=1, vt=1,
+                    packray=False, ns=1):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -986,6 +1000,64 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                + b2[:B, :DHALF] + b2[B:, DHALF:])
         return feats_g
 
+    if packray:
+        # RAY-MAJOR output (round 4): the out block is [vt*tr, S4] f32
+        # (S4 = ns*slab*4 <= 128 lanes = ALL samples of a ray packed as
+        # (sample, rgbsigma)), revisited for the k = ns/group
+        # consecutive steps of one tile when k > 1. Chunk g's decode
+        # row (r, j) lands at out row (g//nsl)*tr + r, lanes
+        # ((i%k)*group + g%nsl)*slab*4 + j*4 + (0:4): parity slices of
+        # the head are placed by static 4-lane rolls (the packout trick
+        # at sample granularity) and accumulated per tile. This removes
+        # BOTH post-kernel transposes (packout unpack 16.5 ms +
+        # from_chunks 37.8 ms at flagship fine dims, PERF.md round-4
+        # batch 8) and halves the output bytes ([R, S4] vs [N, 8]-
+        # unpacked-from-[N, 128]).
+        tr_r = B // slab
+        nsl_ = group // vt
+        k = ns // group if group < ns else 1
+        S4 = ns * slab * 4
+        mask4 = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                 < 4).astype(jnp.float32)
+        accs = [jnp.zeros((tr_r, LANES), jnp.float32) for _ in range(vt)]
+        q = decm
+        assert group % q == 0, (group, q)
+        for g0 in range(0, group, q):
+            if q == 1:
+                feats = chunk_feats(g0)
+            else:
+                per = [chunk_feats(g0 + dq) for dq in range(q)]
+                feats = [jnp.concatenate([per[dq][p] for dq in range(q)],
+                                         axis=0) for p in range(3)]
+            head = decode_body(feats, fv_range(g0, q), wref, bref, cfg,
+                               plan_info)
+            for dq in range(q):
+                g = g0 + dq
+                h = head[dq * B:(dq + 1) * B, :] if q > 1 else head
+                # (B, 128) -> (tr, slab, 128) -> parity slice (the
+                # minor-128 3D<->2D forms Mosaic accepts)
+                h3 = h.reshape(tr_r, slab, LANES)
+                for j in range(slab):
+                    hj = h3[:, j, :] * mask4
+                    accs[g // nsl_] = accs[g // nsl_] + pltpu.roll(
+                        hj, ((g % nsl_) * slab + j) * 4, axis=1)
+        acc = accs[0] if vt == 1 else jnp.concatenate(accs, axis=0)
+        if k == 1:
+            out_ref[:] = acc[:, :S4] if S4 < LANES else acc
+        else:
+            i_k = i % k
+            for kk in range(k):
+                @pl.when(i_k == kk)
+                def _(kk=kk):
+                    a = (acc if kk == 0
+                         else pltpu.roll(acc, kk * group * slab * 4,
+                                         axis=1))
+                    a = a[:, :S4] if S4 < LANES else a
+                    if kk == 0:
+                        out_ref[:] = a
+                    else:
+                        out_ref[:] = out_ref[:] + a
+        return
     if packout:
         # packed output: lanes 8g:8g+8 of one [B, 128] block hold chunk
         # g's (rgb, sigma) — heads are zero beyond lane OUT_LANES (the
@@ -1036,11 +1108,13 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                              "cfg", "plan_info", "interp",
                                              "interpret", "batchdec",
                                              "packout", "single", "decm",
-                                             "viewtile", "slab", "ns"))
+                                             "viewtile", "slab", "ns",
+                                             "packray"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
-                  single=False, decm=1, viewtile=False, slab=1, ns=1):
+                  single=False, decm=1, viewtile=False, slab=1, ns=1,
+                  packray=False):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1092,7 +1166,22 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         vspec = pl.BlockSpec((group * B, DHALF), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
 
-    if packout:
+    if packray:
+        # ray-major [(nsteps/k)*vt*tr, S4] output: one [vt*tr, S4]
+        # block per tile, revisited for the k consecutive steps of that
+        # tile (same i//k index_map as the viewtile input) and
+        # accumulated in-kernel.
+        assert viewtile and not batchdec and not packout
+        S4 = ns * slab * 4
+        assert S4 <= 128, S4
+        tr_r = B // slab
+        k = ns // group if group < ns else 1
+        assert nsteps % k == 0, (nsteps, k)
+        out_shape = jax.ShapeDtypeStruct(
+            ((nsteps // k) * vt * tr_r, S4), jnp.float32)
+        out_spec = pl.BlockSpec((vt * tr_r, S4), lambda i: (i // k, 0),
+                                memory_space=pltpu.VMEM)
+    elif packout:
         out_shape = jax.ShapeDtypeStruct((nsteps * B, 128), jnp.float32)
         out_spec = pl.BlockSpec((B, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -1107,7 +1196,7 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           cfg=cfg, plan_info=plan_info, interp=interp,
                           batchdec=batchdec, packout=packout,
                           single=single, decm=decm, viewtile=viewtile,
-                          slab=slab, vt=vt),
+                          slab=slab, vt=vt, packray=packray, ns=ns),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1231,7 +1320,7 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                  overflow_frac, *, th, tw, group, B, cfg, plan_info,
                  interpret, interp="linear", view_tile=False, ns=None,
-                 slab=1):
+                 slab=1, pack_ray=False):
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave); org [NC, 3, 2] (linear) or [NC, 6, 2]
@@ -1241,7 +1330,13 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
     order) instead of the per-point [N, HALF] stream; requires
     viewtile_ok(...) at the caller and the v2 kernel (see
     _mega_kernel_v2). ns = chunks per image tile, slab = samples per
-    chunk row."""
+    chunk row.
+
+    pack_ray: the kernel writes RAY-MAJOR [R, ns*slab*4] f32 (all
+    samples of a ray in lanes) instead of the chunk-major point stream
+    — no post-kernel transposes at all; requires view_tile and
+    packray_ok(...) at the caller. The return is then [nt*tile_rays,
+    S*4] (tile-coherent ray rows), not [NC*B, OUT_LANES]."""
     import os
     stub = os.environ.get("NVSR_MEGA_STUB", "0")
     # "1": stub every megakernel call; "fine": stub only calls against
@@ -1253,6 +1348,18 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # but keep every producer alive with non-foldable tiny terms, so
         # an in-frame ablation isolates kernel time from wrapper time
         from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
+        if pack_ray:
+            # ray-major stub: same output shape as the packray kernel,
+            # scalar dependence on every producer
+            dep = (fidx.sum() * 1e-9 + ty.sum() * 1e-9
+                   + org.sum() * 1e-9
+                   + view_c[:1, :1].astype(jnp.float32) * 1e-6
+                   + table[:1, :1].astype(jnp.float32) * 1e-30
+                   + wpack[:1, :1] * 1e-30)
+            nt_ = org.shape[0] // ns
+            out = jnp.zeros((nt_ * (B // slab), ns * slab * 4),
+                            jnp.float32) + dep
+            return out, overflow_frac
         dep = ((fidx[0] + fidx[1] + fidx[2] + ty[0]).reshape(-1, 1)
                * 1e-6 + org.sum() * 1e-9)
         vterm = (view_c[:1, :OUT_LANES].astype(jnp.float32) if view_tile
@@ -1278,6 +1385,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # 100 MB VMEM limit; NVSR_MEGA_SCRATCH_MB applies to v1 only).
         group = 8
     view_tile = view_tile and use_v2 and not batchdec
+    pack_ray = pack_ray and view_tile
     pad = _round_up(NC, group) - NC
     if pad:
         org = jnp.pad(org, ((0, pad), (0, 0), (0, 0)))
@@ -1304,7 +1412,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # packout (see _mega_kernel_v2): lane-packed [nsteps*B, 128]
         # output instead of the 16x-tile-padded [N, 8]; unpacked here
         # with one small transpose. A/B knob NVSR_MEGA_PACKOUT=0.
-        packout = (not batchdec
+        packout = (not pack_ray and not batchdec
                    and os.environ.get("NVSR_MEGA_PACKOUT", "1") != "0")
         out = _mega_call_v2(
             table, org, fidx.reshape(3 * nsteps * group, B),
@@ -1321,7 +1429,11 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             decm=math.gcd(group, max(
                 1, int(os.environ.get("NVSR_MEGA_DECM", "8")))),
             viewtile=view_tile, slab=slab,
-            ns=ns if view_tile else 1)
+            ns=ns if view_tile else 1, packray=pack_ray)
+        if pack_ray:
+            # ray-major rows (tile-coherent): slice off the padded
+            # phantom tiles and return [nt*tile_rays, S*4] directly
+            return out[:(NC // ns) * (B // slab)], overflow_frac
         if packout:
             from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
             out = out.reshape(nsteps, B, 16, 8)
@@ -1489,7 +1601,7 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
                       config: TileSamplerConfig, box3, rot,
                       align_corners: bool = True, interpret: bool = False,
                       tables=None, interp: str = "linear",
-                      view_tile: bool = False):
+                      view_tile: bool = False, pack_ray: bool = False):
     """Gather + decode straight from rays: the fastest production entry.
 
     origins/directions [R, 3] tile-coherent; z_vals [R, S]; view_c
@@ -1526,5 +1638,6 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         overflow_frac, th=th, tw=tw, group=group, B=B,
         cfg=model_cfg, plan_info=plan_info,
         interpret=interpret, interp=interp, view_tile=view_tile,
-        ns=z_vals.shape[1] // config.slab, slab=config.slab)
+        ns=z_vals.shape[1] // config.slab, slab=config.slab,
+        pack_ray=pack_ray)
     return out, overflow_frac, jnp.any(ovf_pc, axis=0)

@@ -842,6 +842,59 @@ def test_viewtile_matches_per_point_stream(rng, monkeypatch):
                                atol=1e-6, rtol=0)
 
 
+@pytest.mark.parametrize("tr,sl,S,label", [
+    (16, 4, 8, "vt4"),    # ns=2  -> 4 whole tiles per grid step
+    (16, 2, 32, "k2"),    # ns=16 -> out block revisited k=2 steps
+])
+def test_packray_matches_per_point_stream(rng, monkeypatch, tr, sl, S,
+                                          label):
+    """The packray megakernel form (ray-major [R, S*4] output written
+    by static 4-lane rolls, out block revisited/accumulated across the
+    k grid steps of a tile) is numerically identical to the chunk-major
+    packout + from_chunks path — same decode, only the output transport
+    differs (round 4, PERF.md batch 10)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas.tile_sampler import packray_ok
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3,
+                         proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    tile_cfg = TileSamplerConfig(tile_rays=tr, slab=sl, th=32, tw=16,
+                                 group=2, adaptive_region=False)
+    assert packray_ok(S, tile_cfg), (tr, sl, S)
+    R = tr * 4                           # 4 image tiles
+    origin = np.array([0.0, 0.0, 1.8], np.float32)
+    dirs = np.stack(np.meshgrid(np.linspace(-.05, .05, 8),
+                                np.linspace(-.05, .05, R // 8)),
+                    -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.broadcast_to(np.linspace(0.8, 3.2, S,
+                                    dtype=np.float32), (R, S))
+    args = (params, cfg, planes, plane_view, box,
+            jnp.asarray(np.broadcast_to(origin, (R, 3))), jnp.asarray(d),
+            jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+            jnp.asarray(z))
+
+    out_pr, aux_pr = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+    monkeypatch.setenv("NVSR_MEGA_PACKRAY", "0")
+    out_pp, aux_pp = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+    assert float(aux_pr["overflow_frac"]) == 0.0
+    np.testing.assert_allclose(np.asarray(out_pr), np.asarray(out_pp),
+                               atol=1e-6, rtol=0)
+
+
 def test_hybrid_overflow_repair_exact(rng):
     """repair_frac > 0: clamped chunks are re-evaluated through the
     exact XLA point path and scattered over the kernel output — with a

@@ -443,6 +443,42 @@ def main():
               f"  {rows / t / 1e6:6.0f}M rows/s", flush=True)
         return
     for mode in modes:
+        if mode == "prodvt":
+            # the SHIPPED kernel with per-RAY view rows (viewtile):
+            # chunks are grouped into synthetic tiles of ns chunks
+            # (flagship fine: S=32 / slab=2 -> ns=16) and the [R, 128]
+            # bf16 view rows replace the per-point stream
+            from nvsr_tpu.ops.pallas.tile_sampler import _mega_finish
+            ns = int(os.environ.get("NS", 16))
+            ncp = nsteps * group
+            assert ncp % ns == 0, (ncp, ns)
+            tr_rays = B // tc.slab
+            fidx_p = jnp.moveaxis(
+                ft_c[:, :3].reshape(ncp, B, 3), 2, 0)
+            ty_p = jnp.moveaxis(
+                ft_c[:, 4:7].reshape(ncp, B, 3), 2, 0)
+            org_p = orgs[:nsteps].reshape(ncp, pp, 2)
+            view_r = jnp.asarray(
+                np.random.default_rng(2).standard_normal(
+                    ((ncp // ns) * tr_rays, 128)) * 0.3
+            ).astype(jnp.bfloat16)
+
+            @jax.jit
+            def prodvt_call(table, org_p, fidx_p, ty_p, view_r, wpack,
+                            bpack):
+                out, _ = _mega_finish(
+                    table, org_p, fidx_p, ty_p, view_r, wpack, bpack,
+                    jnp.float32(0.0), th=th, tw=tw, group=group, B=B,
+                    cfg=cfg, plan_info=plan_info, interpret=False,
+                    interp="cubic" if cubic else "linear",
+                    view_tile=True, ns=ns, slab=tc.slab)
+                return out
+
+            t = timeit(lambda: prodvt_call(table, org_p, fidx_p, ty_p,
+                                           view_r, wpack, bpack))
+            print(f"{mode:9s} {t * 1e3:7.2f} ms  "
+                  f"{rows / t / 1e6:6.0f}M rows/s", flush=True)
+            continue
         if mode == "prod":
             # the SHIPPED production kernel via _mega_finish (v2 by
             # default; NVSR_MEGA_V1/NVSR_MEGA_PACKOUT env A/Bs apply)

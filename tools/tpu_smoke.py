@@ -122,6 +122,30 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_VIEWTILE", None)
 
+    def mega_bilinear_nopackray():
+        # chunk-major packout output + from_chunks (packray off)
+        os.environ["NVSR_MEGA_PACKRAY"] = "0"
+        try:
+            mega(cfg)
+        finally:
+            os.environ.pop("NVSR_MEGA_PACKRAY", None)
+
+    def mega_bilinear_packray_k2():
+        # packray with ns > group: the out block is revisited k=2
+        # consecutive grid steps and accumulated in-kernel (the
+        # flagship fine-pass form: S=32, slab=2, ns=16, group=8)
+        tc2 = TileSamplerConfig(tile_rays=64, slab=2)
+        rcfg2 = RenderConfig(num_coarse=16, num_fine=16, perturb=False,
+                             radiance_field_noise_std=0.0, ray_block=256)
+        pf = [make_triplane_point_fn(params, cfg, planes, pv, box,
+                                     tile_cfg=tc2) for _ in range(2)]
+        out = render_image(pf[0], pf[1], ro, rd, jax.random.PRNGKey(1),
+                           rcfg2, near=0.8, far=3.2, tile=8)
+        rgb = np.asarray(out.fine.rgb)
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+        print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
+              flush=True)
+
     # chunk-ordered grids for the raw sampler entries
     gg = rng.uniform(-0.05, 0.05, size=(3, 4, 512, 2)).astype(np.float32)
     g_c = jnp.asarray(gg + rng.uniform(-0.6, 0.6, size=(3, 4, 1, 2)))
@@ -149,9 +173,13 @@ def main():
         gr = jax.grad(loss)(planes)
         assert np.isfinite(np.asarray(gr)).all()
 
-    check("megakernel bilinear (v2 + packout + viewtile)", mega_bilinear)
+    check("megakernel bilinear (v2 + viewtile + packray)", mega_bilinear)
     check("megakernel bilinear (v2, per-point view stream)",
           mega_bilinear_noviewtile)
+    check("megakernel bilinear (v2 + packout, packray off)",
+          mega_bilinear_nopackray)
+    check("megakernel bilinear (packray k=2 revisit)",
+          mega_bilinear_packray_k2)
     check("megakernel bilinear (v2, packout off)", mega_bilinear_v2_nopack)
     check("megakernel bicubic (v2, 6-region)", mega_bicubic)
     check("megakernel bilinear (v1, [N,1] descriptors)", mega_bilinear_v1)
