@@ -471,7 +471,9 @@ def main():
                     jnp.float32(0.0), th=th, tw=tw, group=group, B=B,
                     cfg=cfg, plan_info=plan_info, interpret=False,
                     interp="cubic" if cubic else "linear",
-                    view_tile=True, ns=ns, slab=tc.slab)
+                    view_tile=True, ns=ns, slab=tc.slab,
+                    pack_ray=(os.environ.get("PACKRAY", "1") != "0"
+                              and ns * tc.slab * 4 <= 128))
                 return out
 
             t = timeit(lambda: prodvt_call(table, org_p, fidx_p, ty_p,
