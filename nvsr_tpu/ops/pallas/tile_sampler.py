@@ -1383,7 +1383,10 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # caller's scratch-budget-derived group (region scratch at
         # group 8 = 8.3 MB bilinear / 16.5 MB cubic, under the kernel's
         # 100 MB VMEM limit; NVSR_MEGA_SCRATCH_MB applies to v1 only).
-        group = 8
+        # NVSR_MEGA_GROUP A/Bs larger multiples of 8 (bigger decode M
+        # via decm, fewer grid steps; region scratch scales with it).
+        group = int(os.environ.get("NVSR_MEGA_GROUP", "8"))
+        assert group % 8 == 0, group
     view_tile = view_tile and use_v2 and not batchdec
     pack_ray = pack_ray and view_tile
     pad = _round_up(NC, group) - NC
