@@ -895,6 +895,66 @@ def test_packray_matches_per_point_stream(rng, monkeypatch, tr, sl, S,
                                atol=1e-6, rtol=0)
 
 
+def test_packray_viewtile_fuzz(rng, monkeypatch):
+    """Randomized (tile_rays, slab, S, ntiles, group-env) sweep: for
+    every eligible combination the viewtile/packray transports must
+    match the per-point stream exactly; ineligible combinations must
+    fall back cleanly (gating predicates). Guards the vt/k/padding
+    alignment math across regimes the fixed-case tests don't hit —
+    including phantom-tile padding (ntiles not a multiple of vt)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3, proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    cases = [  # (tile_rays, slab, S, ntiles, mega_group)
+        (16, 1, 16, 3, "8"),    # ns=16, k=2; 3 tiles pad to group mult
+        (32, 2, 8, 5, "8"),     # ns=4 -> vt=2; 5 tiles pad to vt mult
+        (8, 4, 16, 2, "16"),    # ns=4 -> vt=4 at group 16
+        (16, 2, 16, 3, "8"),    # ns=8 = group, k=1, odd tile count
+    ]
+    origin = np.array([0.0, 0.0, 1.8], np.float32)
+    for tr, sl, S, nt, grp in cases:
+        tile_cfg = TileSamplerConfig(tile_rays=tr, slab=sl, th=32,
+                                     tw=16, group=2,
+                                     adaptive_region=False)
+        R = tr * nt
+        dirs = rng.uniform(-.06, .06, size=(R, 2))
+        d = np.concatenate([dirs, -np.ones((R, 1))],
+                           -1).astype(np.float32)
+        z = np.broadcast_to(
+            np.linspace(0.8, 3.2, S, dtype=np.float32), (R, S))
+        args = (params, cfg, planes, plane_view, box,
+                jnp.asarray(np.broadcast_to(origin, (R, 3))),
+                jnp.asarray(d),
+                jnp.asarray(d / np.linalg.norm(d, axis=-1,
+                                               keepdims=True)),
+                jnp.asarray(z))
+        monkeypatch.setenv("NVSR_MEGA_GROUP", grp)
+        out_fast, _ = apply_triplane_rays_from_z(*args,
+                                                 tile_cfg=tile_cfg)
+        monkeypatch.setenv("NVSR_MEGA_VIEWTILE", "0")
+        monkeypatch.setenv("NVSR_MEGA_PACKRAY", "0")
+        out_pp, _ = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+        monkeypatch.delenv("NVSR_MEGA_VIEWTILE")
+        monkeypatch.delenv("NVSR_MEGA_PACKRAY")
+        monkeypatch.delenv("NVSR_MEGA_GROUP")
+        np.testing.assert_allclose(
+            np.asarray(out_fast), np.asarray(out_pp), atol=1e-6, rtol=0,
+            err_msg=f"tr={tr} sl={sl} S={S} nt={nt} group={grp}")
+
+
 def test_hybrid_overflow_repair_exact(rng):
     """repair_frac > 0: clamped chunks are re-evaluated through the
     exact XLA point path and scattered over the kernel output — with a
