@@ -201,7 +201,8 @@ def viewtile_ok(num_samples: int, config: TileSamplerConfig) -> bool:
     if config.tile_rays % 8:        # view block sublane dim must be 8k
         return False
     ns = num_samples // config.slab
-    return ns % 8 == 0 or 8 % ns == 0
+    grp = int(os.environ.get("NVSR_MEGA_GROUP", "8"))
+    return ns % grp == 0 or grp % ns == 0
 
 
 def packray_ok(num_samples: int, config: TileSamplerConfig) -> bool:
@@ -211,10 +212,20 @@ def packray_ok(num_samples: int, config: TileSamplerConfig) -> bool:
     transposes (packout unpack + from_chunks, 54 ms/flagship fine frame
     standalone; PERF.md round-4 batch 8) and halving output bytes.
     Requires the viewtile alignment (same tile <-> grid-step structure)
-    and all of a ray's samples fitting one 128-lane register."""
+    and either all of a ray's samples fitting one 128-lane register
+    (S*4 <= 128; the out block is revisited across a tile's k steps) or
+    whole-cell rows where each grid step fills exactly one 128-lane
+    cell (S*4 % 128 == 0 with group*slab*4 == 128 — the 64+64 / 32+32
+    reference-semantics configs at the shipped group)."""
     if os.environ.get("NVSR_MEGA_PACKRAY", "1") == "0":
         return False
-    return viewtile_ok(num_samples, config) and num_samples * 4 <= 128
+    if not viewtile_ok(num_samples, config):
+        return False
+    S4 = num_samples * 4
+    if S4 <= 128:
+        return True
+    grp = int(os.environ.get("NVSR_MEGA_GROUP", "8"))
+    return S4 % 128 == 0 and grp * config.slab * 4 == 128
 
 
 def build_pair_tables(planes, config: TileSamplerConfig):
@@ -1042,6 +1053,14 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     accs[g // nsl_] = accs[g // nsl_] + pltpu.roll(
                         hj, ((g % nsl_) * slab + j) * 4, axis=1)
         acc = accs[0] if vt == 1 else jnp.concatenate(accs, axis=0)
+        if S4 > LANES:
+            # multi-cell rows (S*4 = m*128, e.g. the 64+64 and 32+32
+            # reference-semantics configs): one grid step fills exactly
+            # ONE 128-lane cell (group*slab*4 == 128, asserted at the
+            # call), and the out BlockSpec maps step i to (tile, cell)
+            # (i // k, i % k) — a full-block write, no revisit
+            out_ref[:] = acc
+            return
         if k == 1:
             out_ref[:] = acc[:, :S4] if S4 < LANES else acc
         else:
@@ -1173,14 +1192,25 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         # accumulated in-kernel.
         assert viewtile and not batchdec and not packout
         S4 = ns * slab * 4
-        assert S4 <= 128, S4
         tr_r = B // slab
         k = ns // group if group < ns else 1
         assert nsteps % k == 0, (nsteps, k)
-        out_shape = jax.ShapeDtypeStruct(
-            ((nsteps // k) * vt * tr_r, S4), jnp.float32)
-        out_spec = pl.BlockSpec((vt * tr_r, S4), lambda i: (i // k, 0),
-                                memory_space=pltpu.VMEM)
+        if S4 > 128:
+            # multi-cell rows: each step fills one 128-lane cell of its
+            # tile's row block (see _mega_kernel_v2)
+            assert group * slab * 4 == 128, (group, slab)
+            assert vt == 1
+            out_shape = jax.ShapeDtypeStruct(
+                ((nsteps // k) * tr_r, S4), jnp.float32)
+            out_spec = pl.BlockSpec((tr_r, 128),
+                                    lambda i, _k=k: (i // _k, i % _k),
+                                    memory_space=pltpu.VMEM)
+        else:
+            out_shape = jax.ShapeDtypeStruct(
+                ((nsteps // k) * vt * tr_r, S4), jnp.float32)
+            out_spec = pl.BlockSpec((vt * tr_r, S4),
+                                    lambda i, _k=k: (i // _k, 0),
+                                    memory_space=pltpu.VMEM)
     elif packout:
         out_shape = jax.ShapeDtypeStruct((nsteps * B, 128), jnp.float32)
         out_spec = pl.BlockSpec((B, 128), lambda i: (i, 0),
@@ -1386,7 +1416,10 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # NVSR_MEGA_GROUP A/Bs larger multiples of 8 (bigger decode M
         # via decm, fewer grid steps; region scratch scales with it).
         group = int(os.environ.get("NVSR_MEGA_GROUP", "8"))
-        assert group % 8 == 0, group
+        assert group in (8, 16), \
+            "NVSR_MEGA_GROUP must be 8 or 16 (packout packs group " \
+            "chunks into 128 lanes; both measured, 8 wins — PERF.md " \
+            "batch 13)"
     view_tile = view_tile and use_v2 and not batchdec
     pack_ray = pack_ray and view_tile
     pad = _round_up(NC, group) - NC

@@ -845,6 +845,7 @@ def test_viewtile_matches_per_point_stream(rng, monkeypatch):
 @pytest.mark.parametrize("tr,sl,S,label", [
     (16, 4, 8, "vt4"),    # ns=2  -> 4 whole tiles per grid step
     (16, 2, 32, "k2"),    # ns=16 -> out block revisited k=2 steps
+    (8, 4, 64, "cells2"),  # S*4=256 -> one 128-lane cell per step
 ])
 def test_packray_matches_per_point_stream(rng, monkeypatch, tr, sl, S,
                                           label):

@@ -130,6 +130,22 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_PACKRAY", None)
 
+    def mega_bilinear_packray_multicell():
+        # packray with S*4 > 128: each grid step fills one 128-lane
+        # CELL of its tile's out rows ((i//k, i%k) out index map) —
+        # the 64+64 / 32+32 reference-semantics fine-pass form
+        tc2 = TileSamplerConfig(tile_rays=64, slab=4)
+        rcfg2 = RenderConfig(num_coarse=32, num_fine=32, perturb=False,
+                             radiance_field_noise_std=0.0, ray_block=256)
+        pf = [make_triplane_point_fn(params, cfg, planes, pv, box,
+                                     tile_cfg=tc2) for _ in range(2)]
+        out = render_image(pf[0], pf[1], ro, rd, jax.random.PRNGKey(1),
+                           rcfg2, near=0.8, far=3.2, tile=8)
+        rgb = np.asarray(out.fine.rgb)
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+        print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
+              flush=True)
+
     def mega_bilinear_packray_k2():
         # packray with ns > group: the out block is revisited k=2
         # consecutive grid steps and accumulated in-kernel (the
@@ -180,6 +196,8 @@ def main():
           mega_bilinear_nopackray)
     check("megakernel bilinear (packray k=2 revisit)",
           mega_bilinear_packray_k2)
+    check("megakernel bilinear (packray multi-cell, S*4=128*k)",
+          mega_bilinear_packray_multicell)
     check("megakernel bilinear (v2, packout off)", mega_bilinear_v2_nopack)
     check("megakernel bicubic (v2, 6-region)", mega_bicubic)
     check("megakernel bilinear (v1, [N,1] descriptors)", mega_bilinear_v1)
