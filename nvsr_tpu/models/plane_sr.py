@@ -335,6 +335,15 @@ def apply_edsr(params, cfg: PlaneSRConfig, x):
             compute_dtype=cd, impl=ci)
         return identity + 0.1 * y
 
+    # NOTE (round 4): a lax.scan over stacked block params (to shrink
+    # the unrolled backward graph enough for the remote compile helper
+    # to accept the noremat schedule) is shape-incompatible with this
+    # VALID trunk: every block shrinks the carry by 2*(k//2)*2 rows, and
+    # the fixed-canvas workaround (conv the full initial extent, crop
+    # once at the end — exact on the kept interior) costs ~1.52x fwd
+    # FLOPs at production pad/size ratio (336^2 canvas vs a 334->206
+    # shrinking extent), i.e. noremat-on-canvas ~= 3*1.52 = 4.56x fwd
+    # > the shipped remat-all 4x. Measured frontier in PERF.md round 4.
     if cfg.remat and cfg.remat_every <= 1:
         block = jax.checkpoint(block)
 
