@@ -1060,19 +1060,36 @@ class Experiment:
             plans = self._tiled_eval_plan = {}
         start = plans.get(scene_id, 0) if tiled_ok else 2
         first_overflow = 0.0
-        for step in range(start, 3):
+
+        def attempt(step):
             tiled, tile = ladder[step]
             pf_c, pf_f = self._point_fns_for_eval(scene_id, planes,
                                                   skip_sr=skip_sr,
                                                   tiled=tiled)
             self.key, k = jax.random.split(self.key)
+            t0 = time.perf_counter()
             out = render_image(pf_c, pf_f, ro, rd, k, rcfg,
                                near=sc_cfg["near"], far=sc_cfg["far"],
                                no_ndc=sc_cfg["no_ndc"], hwf=(h, w, focal),
                                mesh=self.mesh,
                                occ_aabb=self._occ_aabb_for(planes),
-                               tile=tile)
-            if not tiled:
+                               tile=tile,
+                               # compact step: per-RAY tightening — the
+                               # union sampling alone cost 0.16 dB on
+                               # the gate scene; slab-1 full-region
+                               # chunks + repair absorb the per-ray
+                               # footprint misalignment (PERF.md r5)
+                               tighten_tile_union=(step != 1))
+            # force one pixel to the host: device dispatch is async (and
+            # block_until_ready does not synchronize through a remote
+            # tunnel), so the wall clock is only meaningful after a
+            # transfer. The rgb map is consumed right after anyway.
+            np.asarray(out.fine.rgb[:1, :1])
+            return out, time.perf_counter() - t0
+
+        for step in range(start, 3):
+            out, dt = attempt(step)
+            if not ladder[step][0]:
                 break
             of = float((out.aux or {}).get("overflow_frac", 0.0))
             if of == 0.0:
@@ -1085,6 +1102,34 @@ class Experiment:
                   "for this scene")
         if tiled_ok:
             plans[scene_id] = step
+            if step == 1:
+                # Time-probe (once per scene per occupancy epoch): the
+                # compact step serves scenes outside the default
+                # envelope, but on low-res-plane scenes its tiny B=64
+                # chunks can run SLOWER than the exact XLA path
+                # (measured on the gate scene: 282k vs 457k rays/s,
+                # PERF.md round 5). Render this view through XLA too
+                # and cache the faster plan — cost amortizes over the
+                # scene's remaining eval views. The first-render
+                # compile skews dt toward whichever step compiled
+                # earlier, so both probes use the steady-state SECOND
+                # call (the compact render above already compiled).
+                probed = getattr(self, "_plan_time_probed", None)
+                if probed is None:
+                    probed = self._plan_time_probed = set()
+                if scene_id not in probed:
+                    probed.add(scene_id)
+                    out_c, dt_c = attempt(1)       # steady-state compact
+                    out_x, dt_x = attempt(2)       # compile + run XLA
+                    _, dt_x = attempt(2)           # steady-state XLA
+                    if dt_x < dt_c:
+                        plans[scene_id] = step = 2
+                        out = out_x
+                    else:
+                        out = out_c
+                    print(f"[eval] plan probe on {scene_id}: compact "
+                          f"{dt_c:.3f}s vs XLA {dt_x:.3f}s -> "
+                          f"{'XLA' if dt_x < dt_c else 'compact'}")
             if step > 0 or first_overflow > 0.0:
                 out = out._replace(aux={
                     **(out.aux or {}),
@@ -1146,6 +1191,7 @@ class Experiment:
         # a new occupancy box changes chunk footprints — let the tiled
         # eval ladder re-probe this scene from the fast default
         getattr(self, "_tiled_eval_plan", {}).pop(scene_id, None)
+        getattr(self, "_plan_time_probed", set()).discard(scene_id)
         if occ["mode"] == "surface":
             self._commit_surface_aabb(scene_id, occ)
             return

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -498,7 +500,6 @@ def _repair_overflow_chunks(params, cfg, planes_pos, box, origins,
     path (reference grid_sample semantics, models.py:303-309); the
     returned scalar is the RESIDUAL overflow fraction (clamped chunks
     beyond the repair budget — 0.0 means the render is exact)."""
-    import math
 
     r, s = z_vals.shape
     tr, sl = tile_cfg.tile_rays, tile_cfg.slab
@@ -566,8 +567,12 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
     from nvsr_tpu.ops.pallas.tile_sampler import choose_slab
     slab = choose_slab(s, planes_pos.shape[-1], tile_cfg)
     # large ray tiles shorten the slab so chunks stay at the
-    # VMEM-proven 512 points (extent capacity improves as slabs shrink)
-    while tile_cfg.tile_rays * slab > 512 and slab > 1 \
+    # VMEM-proven 512 points (extent capacity improves as slabs shrink).
+    # NVSR_CHUNK_CAP=1024 A/Bs B=1024 slab-4 chunks for LR-plane coarse
+    # passes (half the region fetches + matmul issues per point at a
+    # (24, 10) region; measurement knob, read at trace time).
+    _cap = int(os.environ.get("NVSR_CHUNK_CAP", "512"))
+    while tile_cfg.tile_rays * slab > _cap and slab > 1 \
             and s % (slab // 2) == 0:
         slab //= 2
     if slab != tile_cfg.slab:
@@ -607,7 +612,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                          and origins is not None))
                 and fused_decoder.supports(cfg) and vp_ray is not None
                 and planes_pos.shape[0] == 3
-                and tile_cfg.tile_rays * slab <= 512)
+                and tile_cfg.tile_rays * slab <= _cap)
     if fused_ok:
         cv = vp_ray.shape[-1]
         from nvsr_tpu.ops.pallas.tile_sampler import (LANES as _LANES,

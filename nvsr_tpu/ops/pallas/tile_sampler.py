@@ -169,16 +169,32 @@ def choose_region_dims(num_samples: int, plane_res: int, slab: int,
     and T = 24*16 = 384 = 3 full 128-lane tiles); geometry outside the
     envelope clamps, reports overflow_frac, and falls back to the
     exact XLA path at eval."""
-    if (not config.adaptive_region or tile_rays * slab > 512
+    cap = int(os.environ.get("NVSR_CHUNK_CAP", "512"))
+    if (not config.adaptive_region or tile_rays * slab > cap
             or slab > 2):
+        # B=1024 slab-4 coarse chunks (NVSR_CHUNK_CAP=1024 A/B) keep
+        # the full config regions: slab-4 LR footprints at flagship
+        # geometry measure <= 15 rows and <= 17 x-cells (the depth
+        # motion of the x-carrying planes lands in the CELL axis —
+        # /tmp round-5 extent study) = exactly the (24, 18) defaults
         return config.th, config.tw
     k = num_samples * 256 / max(plane_res, 1)
     if plane_res <= 400 and k >= 16:
         th, tw = 16, 10     # LR-plane coarse passes (8-12 measured)
+        ov = os.environ.get("NVSR_REGION_LR", "")
     elif k >= 8 or plane_res > 400:
         th, tw = 24, 16     # HR-plane fine passes (14-18 measured)
+        ov = os.environ.get("NVSR_REGION_HR", "")
     else:                   # sparse sampling: footprints grow, keep full
         th, tw = config.th, config.tw
+        ov = ""
+    if ov:
+        # measurement knob (A/B region-dim frontiers on hardware; read
+        # at trace time — one process per setting, see CLAUDE.md):
+        # "THxTW", e.g. NVSR_REGION_LR=16x8. Larger-than-config dims
+        # are allowed only when the table was built at least that big.
+        th_s, _, tw_s = ov.partition("x")
+        return int(th_s), int(tw_s)
     return min(th, config.th), min(tw, config.tw)
 
 

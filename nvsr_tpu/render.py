@@ -465,7 +465,8 @@ def make_baseline_point_fn(params, mlp_cfg, *, num_encoding_fn_xyz=6,
 def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
                  key, rcfg: RenderConfig, *, near: float, far: float,
                  no_ndc: bool = True, hwf=None, mesh=None,
-                 occ_aabb=None, tile: Optional[int] = None) -> RenderResult:
+                 occ_aabb=None, tile: Optional[int] = None,
+                 tighten_tile_union: bool = True) -> RenderResult:
     """Full-image render: [H,W,3] ray maps -> maps with [H,W,...] leading
     shape (reference eval_nerf, train_utils.py:285-331).
 
@@ -495,9 +496,19 @@ def render_image(point_fn_coarse, point_fn_fine, ray_origins, ray_directions,
     rays = make_ray_bundle(ray_origins, ray_directions, near, far,
                            use_viewdirs=rcfg.use_viewdirs, no_ndc=no_ndc,
                            hwf=hwf)
+    # tighten_tile_union=False: per-RAY [near, far] even for a tiled
+    # render. Per-ray intervals sample exactly what the XLA path
+    # samples (the per-tile UNION alone cost 0.16 dB absolute on the
+    # trained gate scene — the entire round-4 "tiled eval gap", PERF.md
+    # round 5), at the price of rank-misaligned chunk footprints. Only
+    # valid for configs that absorb the misalignment: the compact
+    # ladder step (slab 1, full regions, hybrid repair) measured
+    # 3.6% raw clamps -> 0.0 after repair; the default envelope
+    # overflows 65% per-ray and must keep the union.
     if occ_aabb is not None:
         rays = tighten_bundle(rays, jnp.asarray(occ_aabb),
-                              tile_rays=th_ * tw_ if tile else None)
+                              tile_rays=th_ * tw_
+                              if tile and tighten_tile_union else None)
     result = render_rays_chunked(point_fn_coarse, point_fn_fine, rays, key,
                                  rcfg, mesh=mesh)
 

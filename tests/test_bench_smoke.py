@@ -93,9 +93,12 @@ def test_bench_psnr_gate_smoke(tmp_path):
 
 
 def test_bench_tunnel_gate_emits_error_artifact():
-    # force an unreachable-tunnel verdict quickly: probe budget so
-    # small the (hanging or slow) PJRT init cannot answer
-    rec = _run({"BENCH_TUNNEL_WAIT_S": "3"}, timeout=120)
+    # force an unreachable-tunnel verdict deterministically: the probe
+    # body hangs (a real jax.devices() probe races against tunnel
+    # responsiveness — it can answer within any small budget)
+    rec = _run({"BENCH_TUNNEL_WAIT_S": "3",
+                "BENCH_TUNNEL_PROBE": "import time; time.sleep(600)"},
+               timeout=120)
     assert rec["value"] == 0.0
     assert "tunnel unreachable" in rec["error"]
     assert rec["last_known_hw"]["value"] > 0
