@@ -898,7 +898,7 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     tw, group, B, cfg, plan_info, interp="linear",
                     batchdec=False, packout=False, single=False,
                     decm=1, viewtile=False, slab=1, vt=1,
-                    packray=False, ns=1):
+                    packray=False, ns=1, probe=""):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -938,17 +938,18 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
             region.at[slot, g, p],
             sem.at[slot, g, p])
 
-    @pl.when(i == 0)
-    def _():
-        for g in range(group):
-            for p in range(pp):
-                dma(0, org_cur, g, p).start()
+    if probe != "nodma":
+        @pl.when(i == 0)
+        def _():
+            for g in range(group):
+                for p in range(pp):
+                    dma(0, org_cur, g, p).start()
 
-    @pl.when(i + 1 < n)
-    def _():
-        for g in range(group):
-            for p in range(pp):
-                dma((i + 1) % 2, org_nxt, g, p).start()
+        @pl.when(i + 1 < n)
+        def _():
+            for g in range(group):
+                for p in range(pp):
+                    dma((i + 1) % 2, org_nxt, g, p).start()
 
     slot = i % 2
     rowsT = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0
@@ -991,15 +992,34 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
         def fv_range(g0, q):
             return view_ref[pl.ds(g0 * B, q * B), :].astype(jnp.float32)
 
+    def wait(g, p):
+        # probe="nodma" (NVSR_MEGA_PROBE attribution knob): regions are
+        # never fetched (garbage VMEM) — isolates the DMA-wait bubble.
+        if probe != "nodma":
+            dma(slot, org_cur, g, p).wait()
+
     def chunk_feats(g):
         feats_g = []
         for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
             fx = fr[pl.ds(g, 1), :]                      # [1, B]
             tyv = tr_[pl.ds(g, 1), :]                    # [1, B]
+            if probe == "constw" and interp == "linear" and single:
+                # probe="constw": the [T, B] hat build replaced by a
+                # descriptor-free constant (hoisted out of the chunk
+                # loop by the compiler) — isolates the VPU weight-build
+                # cost while keeping every matmul/DMA/lerp in place.
+                wT = (rowsT * 1e-7 + 0.31).astype(jnp.bfloat16)
+                wait(g, p)
+                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                tyc = dg(tyv, ones_r)
+                feats_g.append(rows[:, :DHALF]
+                               + tyc[:, :DHALF]
+                               * (rows[:, DHALF:] - rows[:, :DHALF]))
+                continue
             if interp == "linear" and single:
                 wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx)
                                  ).astype(jnp.bfloat16)
-                dma(slot, org_cur, g, p).wait()
+                wait(g, p)
                 rows = dg(wT, region[slot, g, p].reshape(T, LANES))
                 tyc = dg(tyv, ones_r)            # [B, 128] f32 rank-1
                 feats_g.append(rows[:, :DHALF]
@@ -1009,7 +1029,7 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                 wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx))
                 w2 = jnp.concatenate([wT * (1.0 - tyv), wT * tyv],
                                      axis=1).astype(jnp.bfloat16)
-                dma(slot, org_cur, g, p).wait()
+                wait(g, p)
                 o2 = dg(w2, region[slot, g, p].reshape(T, LANES))
                 feats_g.append(o2[:B, :DHALF] + o2[B:, DHALF:])
             else:
@@ -1019,9 +1039,9 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                       axis=1).astype(jnp.bfloat16)
                 w2b = jnp.concatenate([wT * cm1, wT * c2_],
                                       axis=1).astype(jnp.bfloat16)
-                dma(slot, org_cur, g, p).wait()
+                wait(g, p)
                 a2 = dg(w2a, region[slot, g, p].reshape(T, LANES))
-                dma(slot, org_cur, g, p + 3).wait()
+                wait(g, p + 3)
                 b2 = dg(w2b, region[slot, g, p + 3].reshape(T, LANES))
                 feats_g.append(a2[:B, :DHALF] + a2[B:, DHALF:]
                                + b2[:B, :DHALF] + b2[B:, DHALF:])
@@ -1144,12 +1164,12 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                              "interpret", "batchdec",
                                              "packout", "single", "decm",
                                              "viewtile", "slab", "ns",
-                                             "packray"))
+                                             "packray", "probe"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
                   single=False, decm=1, viewtile=False, slab=1, ns=1,
-                  packray=False):
+                  packray=False, probe=""):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1242,7 +1262,8 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           cfg=cfg, plan_info=plan_info, interp=interp,
                           batchdec=batchdec, packout=packout,
                           single=single, decm=decm, viewtile=viewtile,
-                          slab=slab, vt=vt, packray=packray, ns=ns),
+                          slab=slab, vt=vt, packray=packray, ns=ns,
+                          probe=probe),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1481,7 +1502,11 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             decm=math.gcd(group, max(
                 1, int(os.environ.get("NVSR_MEGA_DECM", "8")))),
             viewtile=view_tile, slab=slab,
-            ns=ns if view_tile else 1, packray=pack_ray)
+            ns=ns if view_tile else 1, packray=pack_ray,
+            # attribution-only (measurement, never production): "constw"
+            # removes the [T, B] VPU hat builds, "nodma" the region
+            # fetches — per-step overhead split, PERF.md round 5
+            probe=os.environ.get("NVSR_MEGA_PROBE", ""))
         if pack_ray:
             # ray-major rows (tile-coherent): slice off the padded
             # phantom tiles and return [nt*tile_rays, S*4] directly
