@@ -115,6 +115,14 @@ class TileSamplerConfig:
     # %% of chunks exceed ANY static envelope on converged fields
     # (round-4 study, tools/exp_gate_overflow.py).
     repair_frac: float = 0.0
+    # hat-weight-build lowering inside the v2 megakernel: "vpu"
+    # (max(0, 1-|d|), ~4 VPU passes per chunk-plane) or "mxu" (one
+    # rank-2 dot_general producing [d+1 | 1-d] for all 3 planes, then
+    # relu(min(..)) in 2 passes over [T, 3B]) — the build is 19% of
+    # kernel time at fine dims (PERF.md R5 batch 5). ULP-equal, not
+    # bit-exact (f32 addition order before the shared bf16 cast).
+    # NVSR_MEGA_WBUILD overrides at trace time (fresh-process A/Bs).
+    wbuild: str = "vpu"
 
     def __post_init__(self):
         assert self.th % 8 == 0, "region rows must align to sublanes"
@@ -898,7 +906,7 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                     tw, group, B, cfg, plan_info, interp="linear",
                     batchdec=False, packout=False, single=False,
                     decm=1, viewtile=False, slab=1, vt=1,
-                    packray=False, ns=1, probe=""):
+                    packray=False, ns=1, probe="", wbuild="vpu"):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -995,14 +1003,60 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     def wait(g, p):
         # probe="nodma" (NVSR_MEGA_PROBE attribution knob): regions are
         # never fetched (garbage VMEM) — isolates the DMA-wait bubble.
-        if probe != "nodma":
+        # probe="nowait": copies still START (engine + descriptor-issue
+        # cost stays) but completions are never awaited — splits the
+        # nodma delta into issue-side vs wait-side.
+        if probe not in ("nodma", "nowait"):
             dma(slot, org_cur, g, p).wait()
+
+    if wbuild == "mxu" and interp == "linear" and single:
+        # MXU-assisted hat build (round 5): the [T, B] VPU build
+        # (sub/abs/sub/max ~4 passes per chunk-plane = 19% of kernel
+        # time, PERF.md R5 batch 5) becomes ONE rank-2 dot_general per
+        # chunk producing D = [d+1 | 1-d] for all 3 planes at once
+        # (d = row - fx), then hat = relu(min(D_left, D_right)) — the
+        # identity 1-|d| = min(d+1, 1-d) — in 2 VPU passes over
+        # [T, 3B]. f32-algebraic equality with the VPU form up to
+        # addition order (one f32 rounding before the bf16 cast either
+        # way; tolerance-tested in tests/test_tile_sampler.py).
+        iota_rT = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1
+                                           ).astype(jnp.float32)
+        A2 = jnp.concatenate([iota_rT, jnp.ones((1, T), jnp.float32)],
+                             axis=0)                       # [2, T]
+        sgn = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 6 * B), 1) < 3 * B,
+            1.0, -1.0)                                     # [1, 6B]
+
+        def hat3(g):
+            fxs = [fr[pl.ds(g, 1), :] for fr in (f0, f1, f2)]  # [1, B]
+            c1 = jnp.concatenate(
+                [1.0 - fxs[0], 1.0 - fxs[1], 1.0 - fxs[2],
+                 1.0 + fxs[0], 1.0 + fxs[1], 1.0 + fxs[2]],
+                axis=1)                                    # [1, 6B]
+            M2 = jnp.concatenate([sgn, c1], axis=0)        # [2, 6B]
+            D = jax.lax.dot_general(A2, M2, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return jnp.maximum(
+                jnp.minimum(D[:, :3 * B], D[:, 3 * B:]), 0.0
+            ).astype(jnp.bfloat16)                         # [T, 3B]
+    else:
+        hat3 = None
 
     def chunk_feats(g):
         feats_g = []
+        w3 = hat3(g) if hat3 is not None and probe != "constw" else None
         for p, (fr, tr_) in enumerate(((f0, t0), (f1, t1), (f2, t2))):
             fx = fr[pl.ds(g, 1), :]                      # [1, B]
             tyv = tr_[pl.ds(g, 1), :]                    # [1, B]
+            if w3 is not None:
+                wT = w3[:, p * B:(p + 1) * B]
+                wait(g, p)
+                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                tyc = dg(tyv, ones_r)
+                feats_g.append(rows[:, :DHALF]
+                               + tyc[:, :DHALF]
+                               * (rows[:, DHALF:] - rows[:, :DHALF]))
+                continue
             if probe == "constw" and interp == "linear" and single:
                 # probe="constw": the [T, B] hat build replaced by a
                 # descriptor-free constant (hoisted out of the chunk
@@ -1164,12 +1218,13 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                              "interpret", "batchdec",
                                              "packout", "single", "decm",
                                              "viewtile", "slab", "ns",
-                                             "packray", "probe"))
+                                             "packray", "probe",
+                                             "wbuild"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
                   single=False, decm=1, viewtile=False, slab=1, ns=1,
-                  packray=False, probe=""):
+                  packray=False, probe="", wbuild="vpu"):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1263,7 +1318,7 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           batchdec=batchdec, packout=packout,
                           single=single, decm=decm, viewtile=viewtile,
                           slab=slab, vt=vt, packray=packray, ns=ns,
-                          probe=probe),
+                          probe=probe, wbuild=wbuild),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1381,13 +1436,13 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                         overflow_frac, th=th, tw=tw, group=group, B=B,
                         cfg=model_cfg, plan_info=plan_info,
-                        interpret=interpret)
+                        interpret=interpret, wbuild=config.wbuild)
 
 
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                  overflow_frac, *, th, tw, group, B, cfg, plan_info,
                  interpret, interp="linear", view_tile=False, ns=None,
-                 slab=1, pack_ray=False):
+                 slab=1, pack_ray=False, wbuild="vpu"):
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave); org [NC, 3, 2] (linear) or [NC, 6, 2]
@@ -1505,8 +1560,12 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             ns=ns if view_tile else 1, packray=pack_ray,
             # attribution-only (measurement, never production): "constw"
             # removes the [T, B] VPU hat builds, "nodma" the region
-            # fetches — per-step overhead split, PERF.md round 5
-            probe=os.environ.get("NVSR_MEGA_PROBE", ""))
+            # fetches, "nowait" the completion waits only — per-step
+            # overhead split, PERF.md round 5
+            probe=os.environ.get("NVSR_MEGA_PROBE", ""),
+            # hat-build lowering (TileSamplerConfig.wbuild; env
+            # override for fresh-process A/Bs) — see _mega_kernel_v2
+            wbuild=os.environ.get("NVSR_MEGA_WBUILD", wbuild))
         if pack_ray:
             # ray-major rows (tile-coherent): slice off the padded
             # phantom tiles and return [nt*tile_rays, S*4] directly
@@ -1716,5 +1775,5 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         cfg=model_cfg, plan_info=plan_info,
         interpret=interpret, interp=interp, view_tile=view_tile,
         ns=z_vals.shape[1] // config.slab, slab=config.slab,
-        pack_ray=pack_ray)
+        pack_ray=pack_ray, wbuild=config.wbuild)
     return out, overflow_frac, jnp.any(ovf_pc, axis=0)

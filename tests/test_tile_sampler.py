@@ -6,6 +6,7 @@ bfloat16 tap values and bfloat16 interpolation weights -> tolerance
 ~1e-2 on unit-scale features.
 """
 
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -1082,6 +1083,107 @@ def test_megakernel_v2_matches_v1(rng, monkeypatch):
                                    atol=2e-2, rtol=0)
         mean_err = np.abs(np.asarray(out_v2) - np.asarray(out_v1)).mean()
         assert mean_err < 2e-3, (interp, mean_err)
+
+
+def test_megakernel_wbuild_mxu_matches_vpu(rng):
+    """The MXU-assisted hat build (NVSR_MEGA_WBUILD=mxu: one rank-2
+    dot_general producing [d+1 | 1-d] for all 3 planes, then
+    relu(min(.))) agrees with the VPU build (max(0, 1-|d|)) up to f32
+    addition order before the shared bf16 cast — ULP-level, not
+    bit-exact (PERF.md R5 batch 5)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          apply_triplane_rays_from_z,
+                                          init_decoder_params)
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3, proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    planes = jnp.asarray(
+        0.3 * rng.standard_normal((3, 48, 64, 64)).astype(np.float32))
+    plane_view = jnp.asarray(
+        0.3 * rng.standard_normal((48, 16, 16)).astype(np.float32))
+    box = np.stack([[-2, -2, -2, -np.pi, -np.pi / 2],
+                    [2, 2, 2, np.pi, np.pi / 2]]).astype(np.float32)
+    # B = tile_rays * slab must be a 128-multiple or the call falls
+    # back to the v1 kernel (which has no wbuild path) and the A/B is
+    # vacuous — the nonzero-diff guard below pins this
+    tile_cfg = TileSamplerConfig(tile_rays=32, slab=4, th=32, tw=18,
+                                 group=8, adaptive_region=False)
+    R, S = 32, 8
+    origin = np.array([0.0, 0.0, 1.8], np.float32)
+    dirs = np.stack(np.meshgrid(np.linspace(-.07, .07, 8),
+                                np.linspace(-.05, .05, 4)),
+                    -1).reshape(-1, 2)
+    d = np.concatenate([dirs, -np.ones((R, 1))], -1).astype(np.float32)
+    z = np.broadcast_to(np.linspace(0.8, 3.2, S, dtype=np.float32),
+                        (R, S))
+    args = (params, cfg, planes, plane_view, box,
+            jnp.asarray(np.broadcast_to(origin, (R, 3))),
+            jnp.asarray(d),
+            jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+            jnp.asarray(z))
+
+    # wbuild is a TileSamplerConfig field (a REAL jit static, not an
+    # env knob — the env-only in-process A/B is vacuous under an outer
+    # cached trace, the CLAUDE.md round-4 footgun). Non-vacuity is
+    # pinned below on the direct kernel call instead of output deltas:
+    # the two builds agree to the last bit on this scene (diffs can
+    # only appear at bf16 rounding midpoints of the f32 hat weights).
+    out_vpu, aux_v = apply_triplane_rays_from_z(*args, tile_cfg=tile_cfg)
+    out_mxu, aux_m = apply_triplane_rays_from_z(
+        *args, tile_cfg=dataclasses.replace(tile_cfg, wbuild="mxu"))
+    assert float(aux_v["overflow_frac"]) == float(aux_m["overflow_frac"])
+    np.testing.assert_allclose(np.asarray(out_mxu), np.asarray(out_vpu),
+                               atol=1e-4, rtol=0)
+
+
+def test_megakernel_wbuild_direct_call(rng):
+    """Direct _mega_call_v2 A/B of the two hat-build lowerings: exact
+    output equality on random descriptors, and DIFFERENT lowered
+    programs (proves the static actually switched kernels — guards the
+    vacuous-A/B footgun)."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder as fd
+    from nvsr_tpu.ops.pallas import tile_sampler as ts
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3, proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    wpack, bpack, plan_info = fd.pack_decoder_weights(params, cfg)
+    B, group, th, tw = 128, 8, 24, 14
+    nsteps, T = 2, 24 * 14
+    NC, Wp = nsteps * 8, 20
+    table = jnp.asarray(rng.standard_normal((2880, Wp * 128))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+    org = np.zeros((nsteps + 1, group, 3, 2), np.int32)
+    org[..., 0] = rng.integers(0, 8, size=(nsteps + 1, group, 3)) * 8
+    org[..., 1] = rng.integers(0, Wp - tw, size=(nsteps + 1, group, 3))
+    fidx = (rng.random((3 * NC, B)) * (T - 2)).astype(np.float32)
+    ty = rng.random((3 * NC, B)).astype(np.float32)
+    view = jnp.asarray(rng.standard_normal((NC * B, 64))
+                       .astype(np.float32)).astype(jnp.bfloat16)
+    args = (table, jnp.asarray(org), jnp.asarray(fidx), jnp.asarray(ty),
+            view, wpack, bpack)
+    kw = dict(th=th, tw=tw, group=group, B=B, cfg=cfg,
+              plan_info=plan_info, interp="linear", interpret=True,
+              single=True, decm=8, packout=True)
+    o_vpu = ts._mega_call_v2(*args, **kw, wbuild="vpu")
+    o_mxu = ts._mega_call_v2(*args, **kw, wbuild="mxu")
+    np.testing.assert_array_equal(np.asarray(o_vpu), np.asarray(o_mxu))
+    lo_v = jax.jit(ts._mega_call_v2.__wrapped__,
+                   static_argnames=tuple(kw) + ("wbuild",)).lower(
+        *args, **kw, wbuild="vpu").as_text()
+    lo_m = jax.jit(ts._mega_call_v2.__wrapped__,
+                   static_argnames=tuple(kw) + ("wbuild",)).lower(
+        *args, **kw, wbuild="mxu").as_text()
+    assert lo_v != lo_m, "wbuild static did not change the lowering"
 
 
 def test_rect_tiles_no_overflow_on_flagship_geometry():

@@ -114,6 +114,16 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_V1", None)
 
+    def mega_bilinear_wbuild_mxu():
+        # MXU-assisted hat build: rank-2 dot_general ([2, T] x [2, 6B])
+        # + relu(min(..)) — new Mosaic forms: sublane-2 operands,
+        # lane-dim iota at T, where() on a lane iota (round 5)
+        os.environ["NVSR_MEGA_WBUILD"] = "mxu"
+        try:
+            mega(cfg)
+        finally:
+            os.environ.pop("NVSR_MEGA_WBUILD", None)
+
     def mega_bilinear_noviewtile():
         # per-point [N, 64] view stream (the pre-round-4 form)
         os.environ["NVSR_MEGA_VIEWTILE"] = "0"
@@ -190,6 +200,8 @@ def main():
         assert np.isfinite(np.asarray(gr)).all()
 
     check("megakernel bilinear (v2 + viewtile + packray)", mega_bilinear)
+    check("megakernel bilinear (wbuild=mxu rank-2 hat build)",
+          mega_bilinear_wbuild_mxu)
     check("megakernel bilinear (v2, per-point view stream)",
           mega_bilinear_noviewtile)
     check("megakernel bilinear (v2 + packout, packray off)",
