@@ -901,12 +901,13 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     out_ref[:] = head[:, :OUT_LANES]
 
 
-def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
-                    table_ref, wref, bref, out_ref, region, sem, *, th,
-                    tw, group, B, cfg, plan_info, interp="linear",
-                    batchdec=False, packout=False, single=False,
-                    decm=1, viewtile=False, slab=1, vt=1,
-                    packray=False, ns=1, probe="", wbuild="vpu"):
+def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
+                    t2, view_ref, table_ref, wref, bref, out_ref, region,
+                    sem, *, th, tw, group, B, cfg, plan_info,
+                    interp="linear", batchdec=False, packout=False,
+                    single=False, decm=1, viewtile=False, slab=1, vt=1,
+                    packray=False, ns=1, probe="", wbuild="vpu",
+                    slots=2):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -946,20 +947,28 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
             region.at[slot, g, p],
             sem.at[slot, g, p])
 
+    # slots = depth of the region double-buffer pipeline (2 = classic
+    # double buffering: step i+1's fetch issued at step i; 4 = three
+    # steps of DMA lead time — NVSR_MEGA_SLOTS A/B, PERF.md round 5).
+    # org views are the next `slots` grid steps' origin rows.
+    org_views = (org_v0, org_v1, org_v2, org_v3)[:slots] \
+        if slots > 2 else (org_v0, org_v1)
     if probe != "nodma":
         @pl.when(i == 0)
         def _():
-            for g in range(group):
-                for p in range(pp):
-                    dma(0, org_cur, g, p).start()
+            for d in range(min(slots - 1, n)):
+                for g in range(group):
+                    for p in range(pp):
+                        dma(d, org_views[d], g, p).start()
 
-        @pl.when(i + 1 < n)
+        @pl.when(i + slots - 1 < n)
         def _():
             for g in range(group):
                 for p in range(pp):
-                    dma((i + 1) % 2, org_nxt, g, p).start()
+                    dma((i + slots - 1) % slots, org_views[slots - 1],
+                        g, p).start()
 
-    slot = i % 2
+    slot = i % slots
     rowsT = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0
                                      ).astype(jnp.float32)
 
@@ -1007,7 +1016,7 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
         # cost stays) but completions are never awaited — splits the
         # nodma delta into issue-side vs wait-side.
         if probe not in ("nodma", "nowait"):
-            dma(slot, org_cur, g, p).wait()
+            dma(slot, org_v0, g, p).wait()
 
     if wbuild == "mxu" and interp == "linear" and single:
         # MXU-assisted hat build (round 5): the [T, B] VPU build
@@ -1219,12 +1228,12 @@ def _mega_kernel_v2(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
                                              "packout", "single", "decm",
                                              "viewtile", "slab", "ns",
                                              "packray", "probe",
-                                             "wbuild"))
+                                             "wbuild", "slots"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
                   single=False, decm=1, viewtile=False, slab=1, ns=1,
-                  packray=False, probe="", wbuild="vpu"):
+                  packray=False, probe="", wbuild="vpu", slots=2):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1235,7 +1244,7 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
     per grid step (chunk g at lanes 8g:8g+8) and the caller unpacks —
     see _mega_kernel_v2; returns [nsteps*B, 128] instead of [N, 8]."""
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
-    nsteps = org.shape[0] - 1
+    nsteps = org.shape[0] - 3  # 3 pad rows (slots=4 views)
     pp = org.shape[-2]
     assert pp == (3 if interp == "linear" else 6)
     assert fidx.shape == (3 * nsteps * group, B), fidx.shape
@@ -1318,16 +1327,17 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           batchdec=batchdec, packout=packout,
                           single=single, decm=decm, viewtile=viewtile,
                           slab=slab, vt=vt, packray=packray, ns=ns,
-                          probe=probe, wbuild=wbuild),
+                          probe=probe, wbuild=wbuild, slots=slots),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, group, pp, 2), lambda i: (i + 1, 0, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, pp, 2),
+                         lambda i, _d=d: (i + _d, 0, 0, 0),
+                         memory_space=pltpu.SMEM)
+            for d in range(4)
+        ] + [
             pm_spec(0), pm_spec(1), pm_spec(2),
             pm_spec(0), pm_spec(1), pm_spec(2),
             vspec,
@@ -1337,11 +1347,12 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, group, pp, th, tw * LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, group, pp)),
+            pltpu.VMEM((slots, group, pp, th, tw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((slots, group, pp)),
         ],
         interpret=interpret,
-    )(org, org, fidx, fidx, fidx, ty, ty, ty, view, table, wpack, bpack)
+    )(org, org, org, org, fidx, fidx, fidx, ty, ty, ty, view, table,
+      wpack, bpack)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
@@ -1356,7 +1367,7 @@ def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
     SIX regions per chunk (A and B tables of build_pair_tables_bicubic;
     org is [.., 6, 2]) and y-combines with the 4-tap cubic weights."""
     from nvsr_tpu.ops.pallas.fused_decoder import HALF as DHALF, OUT_LANES
-    nsteps = org.shape[0] - 1
+    nsteps = org.shape[0] - 3  # 3 pad rows (v2 slots views; v1 uses i, i+1)
     pp = org.shape[-2]
     assert pp == (3 if interp == "linear" else 6)
 
@@ -1532,9 +1543,12 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             view_c = jnp.pad(view_c,
                              ((0, rows - view_c.shape[0]), (0, 0)))
     nsteps = (NC + pad) // group
+    # +3 zero rows: v2's four org views index steps i..i+3 (the slots=4
+    # DMA pipeline; views beyond nsteps read zeros and are never
+    # waited); v1 uses views i and i+1 only
     org = jnp.concatenate(
         [org.reshape(nsteps, group, pp, 2),
-         jnp.zeros((1, group, pp, 2), org.dtype)], axis=0)
+         jnp.zeros((3, group, pp, 2), org.dtype)], axis=0)
 
     if use_v2:
         # packout (see _mega_kernel_v2): lane-packed [nsteps*B, 128]
@@ -1565,7 +1579,10 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             probe=os.environ.get("NVSR_MEGA_PROBE", ""),
             # hat-build lowering (TileSamplerConfig.wbuild; env
             # override for fresh-process A/Bs) — see _mega_kernel_v2
-            wbuild=os.environ.get("NVSR_MEGA_WBUILD", wbuild))
+            wbuild=os.environ.get("NVSR_MEGA_WBUILD", wbuild),
+            # region-pipeline depth (2 = double buffer; 4 = 3 steps of
+            # DMA lead; measurement A/B, PERF.md round 5)
+            slots=int(os.environ.get("NVSR_MEGA_SLOTS", "2")))
         if pack_ray:
             # ray-major rows (tile-coherent): slice off the padded
             # phantom tiles and return [nt*tile_rays, S*4] directly

@@ -1162,9 +1162,11 @@ def test_megakernel_wbuild_direct_call(rng):
     NC, Wp = nsteps * 8, 20
     table = jnp.asarray(rng.standard_normal((2880, Wp * 128))
                         .astype(np.float32)).astype(jnp.bfloat16)
-    org = np.zeros((nsteps + 1, group, 3, 2), np.int32)
-    org[..., 0] = rng.integers(0, 8, size=(nsteps + 1, group, 3)) * 8
-    org[..., 1] = rng.integers(0, Wp - tw, size=(nsteps + 1, group, 3))
+    # +3 pad rows: _mega_call_v2 derives nsteps = org.shape[0] - 3
+    # (the four slots=4 org views)
+    org = np.zeros((nsteps + 3, group, 3, 2), np.int32)
+    org[..., 0] = rng.integers(0, 8, size=(nsteps + 3, group, 3)) * 8
+    org[..., 1] = rng.integers(0, Wp - tw, size=(nsteps + 3, group, 3))
     fidx = (rng.random((3 * NC, B)) * (T - 2)).astype(np.float32)
     ty = rng.random((3 * NC, B)).astype(np.float32)
     view = jnp.asarray(rng.standard_normal((NC * B, 64))
@@ -1177,6 +1179,9 @@ def test_megakernel_wbuild_direct_call(rng):
     o_vpu = ts._mega_call_v2(*args, **kw, wbuild="vpu")
     o_mxu = ts._mega_call_v2(*args, **kw, wbuild="mxu")
     np.testing.assert_array_equal(np.asarray(o_vpu), np.asarray(o_mxu))
+    # slots=4 (3-step DMA lead) is pure pipelining — bit-exact
+    o_s4 = ts._mega_call_v2(*args, **kw, wbuild="vpu", slots=4)
+    np.testing.assert_array_equal(np.asarray(o_vpu), np.asarray(o_s4))
     lo_v = jax.jit(ts._mega_call_v2.__wrapped__,
                    static_argnames=tuple(kw) + ("wbuild",)).lower(
         *args, **kw, wbuild="vpu").as_text()
