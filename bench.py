@@ -211,9 +211,14 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
         # the table arrays flow as jit arguments
         tables_c = (tab_c, *hw_c) if tab_c is not None else None
         tables_f = (tab_f, *hw_f) if tab_f is not None else None
-        pf_c = make_triplane_point_fn(decoder_c, model_cfg, planes_lr,
-                                      plane_view, box, tile_cfg=tile_cfg,
-                                      tile_tables=tables_c)
+        # the coarse pass feeds only the hierarchical CDF in this
+        # fine-image render, so it decodes sigma-only (rgb branch +
+        # view gathers skipped — fine image bit-identical, round 5;
+        # BENCH_COARSE_RGB=1 restores the full coarse decode)
+        pf_c = make_triplane_point_fn(
+            decoder_c, model_cfg, planes_lr, plane_view, box,
+            tile_cfg=tile_cfg, tile_tables=tables_c,
+            sigma_only=os.environ.get("BENCH_COARSE_RGB", "0") != "1")
         pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
                                       plane_view, box, tile_cfg=tile_cfg,
                                       tile_tables=tables_f)
@@ -300,10 +305,13 @@ def bench_psnr_gate(extra: dict) -> None:
         # 0.16 dB on this scene, PERF.md round 5)
         mcfg = cfg if tc is None else dataclasses.replace(
             cfg, compute_dtype="bfloat16")
-        mk = lambda dec: make_triplane_point_fn(
+        # fine-image render: the coarse pass decodes sigma-only (CDF
+        # feed; fine image bit-identical — round-5 fast path)
+        mk = lambda dec, so=False: make_triplane_point_fn(
             jax.tree.map(jnp.asarray, dec), mcfg, planes, view,
-            jnp.asarray(a["box"]), tile_cfg=tc)
-        out = render_image(mk(a["decoder_coarse"]), mk(a["decoder_fine"]),
+            jnp.asarray(a["box"]), tile_cfg=tc, sigma_only=so)
+        out = render_image(mk(a["decoder_coarse"], True),
+                           mk(a["decoder_fine"]),
                            ro, rd, jax.random.PRNGKey(0), rcfg,
                            near=a["near"], far=a["far"], occ_aabb=occ,
                            tile=tile, tighten_tile_union=union)
@@ -350,12 +358,13 @@ def bench_psnr_gate(extra: dict) -> None:
             cfg, compute_dtype="bfloat16")
 
         def f(dec_c, dec_f, planes_a, view_a, key):
-            mk = lambda dec: make_triplane_point_fn(
+            mk = lambda dec, so=False: make_triplane_point_fn(
                 dec, mcfg, planes_a, view_a, jnp.asarray(a["box"]),
-                tile_cfg=tc)
-            out = render_image(mk(dec_c), mk(dec_f), ro, rd, key, rcfg,
-                               near=a["near"], far=a["far"], occ_aabb=occ,
-                               tile=tile, tighten_tile_union=union)
+                tile_cfg=tc, sigma_only=so)
+            out = render_image(mk(dec_c, True), mk(dec_f), ro, rd, key,
+                               rcfg, near=a["near"], far=a["far"],
+                               occ_aabb=occ, tile=tile,
+                               tighten_tile_union=union)
             return out.fine.rgb
 
         fj = jax.jit(f)

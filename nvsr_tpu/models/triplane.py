@@ -375,7 +375,7 @@ def apply_triplane_points(params, cfg: TriplaneConfig, planes_pos, box,
                           xyz_raw, view_proj, *, member: int = 0,
                           noise_key=None,
                           plane_resolution: Optional[int] = None,
-                          rot_mats=None):
+                          rot_mats=None, sigma_only: bool = False):
     """Core forward on raw xyz with PRE-SAMPLED viewdir features.
 
     xyz_raw: [N,3] world points; view_proj: [N,Cv] or None.
@@ -393,20 +393,29 @@ def apply_triplane_points(params, cfg: TriplaneConfig, planes_pos, box,
     grids = project_to_planes(xyz, rot)                # [P,N,2]
     pos_projs = sample_planes(planes_pos, grids, cfg)  # [P,N,C]
     return decode_projections(params, cfg, pos_projs, view_proj,
-                              member=member)
+                              member=member, sigma_only=sigma_only)
 
 
 def decode_projections(params, cfg: TriplaneConfig, pos_projs, view_proj,
-                       *, member: int = 0):
+                       *, member: int = 0, sigma_only: bool = False):
     """Decoder forward on pre-sampled plane features.
 
     pos_projs: [P, N, C] per-plane features; view_proj: [N, Cv] or None.
     The tail of the reference forward (models.py:395-421) after the
     grid_sample calls — shared by the XLA gather path and the Pallas
-    tile-sampler path."""
+    tile-sampler path.
+
+    sigma_only: skip the view-conditioned rgb branch — sigma is
+    bit-identical, rgb lanes hold the constant fc_rgb bias (matching
+    the fused kernel's sigma_only output). The eval coarse pass only
+    feeds the hierarchical CDF; see ops/pallas/fused_decoder.py."""
     m = params["members"][member]
     projected_xyz = combine_pos_planes(pos_projs, cfg.proj_combination)
     h, alpha = _mlp_branch(m["density"], m["fc_alpha"], projected_xyz, cfg)
+    if sigma_only:
+        rgb = jnp.broadcast_to(m["fc_rgb"]["b"].astype(alpha.dtype),
+                               alpha.shape[:-1] + (3,))
+        return jnp.concatenate([rgb, alpha], axis=-1)
 
     if "features" in cfg.rgb_dec_input:
         if cfg.rgb_dec_input == "projections_features":
@@ -448,7 +457,8 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
                         box, pts, viewdirs, *, member: int = 0,
                         noise_key=None,
                         plane_resolution: Optional[int] = None,
-                        rot_mats=None, tile_cfg=None, tile_tables=None):
+                        rot_mats=None, tile_cfg=None, tile_tables=None,
+                        sigma_only: bool = False):
     """Ray-structured forward: pts [R,S,3] + per-ray viewdirs [R,3]
     -> [R,S,4].
 
@@ -464,13 +474,16 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     point-coordinate noise)."""
     r, s, _ = pts.shape
     vp_ray = None
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and not sigma_only:
+        # sigma_only renders never read the rgb branch, so the
+        # view-plane gathers are dead work too
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg)
     if tile_cfg is not None:
         out, _ = _apply_triplane_rays_tiled(
             params, cfg, planes_pos, box, pts, vp_ray, r, s,
             member=member, noise_key=noise_key, rot_mats=rot_mats,
-            tile_cfg=tile_cfg, tile_tables=tile_tables)
+            tile_cfg=tile_cfg, tile_tables=tile_tables,
+            sigma_only=sigma_only)
         return out
     view_proj = None
     if vp_ray is not None:
@@ -480,14 +493,15 @@ def apply_triplane_rays(params, cfg: TriplaneConfig, planes_pos, plane_view,
     out = apply_triplane_points(
         params, cfg, planes_pos, box, pts.reshape(-1, 3), view_proj,
         member=member, noise_key=noise_key,
-        plane_resolution=plane_resolution, rot_mats=rot_mats)
+        plane_resolution=plane_resolution, rot_mats=rot_mats,
+        sigma_only=sigma_only)
     return out.reshape(r, s, 4)
 
 
 def _repair_overflow_chunks(params, cfg, planes_pos, box, origins,
                             directions, z_vals, vp_ray, mask, res,
                             tile_cfg, *, member, rot_mats,
-                            plane_resolution=None):
+                            plane_resolution=None, sigma_only=False):
     """Hybrid overflow repair: re-evaluate up to ceil(repair_frac * NC)
     clamped chunks EXACTLY through the XLA point path and scatter the
     results over the kernel output.
@@ -525,7 +539,8 @@ def _repair_overflow_chunks(params, cfg, planes_pos, box, origins,
     out = apply_triplane_points(
         params, cfg, planes_pos, box, pts.reshape(-1, 3), vp,
         member=member, noise_key=None,
-        plane_resolution=plane_resolution, rot_mats=rot_mats)
+        plane_resolution=plane_resolution, rot_mats=rot_mats,
+        sigma_only=sigma_only)
     out = out.reshape(K, tr, sl, 4).astype(res.dtype)
     cur = res[ray_ids[:, :, None], zcols[:, None, :]]       # [K,tr,sl,4]
     upd = jnp.where(valid[:, None, None, None], out, cur)
@@ -539,7 +554,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                                r, s, *, member, noise_key, rot_mats,
                                tile_cfg, tile_tables, origins=None,
                                directions=None, z_vals=None,
-                               trainable=False, plane_resolution=None):
+                               trainable=False, plane_resolution=None,
+                               sigma_only=False):
     """Tiled-sampler forward, entirely in CHUNK point order.
 
     Per-point data is never transposed: when origins/directions/z_vals
@@ -610,16 +626,22 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 and (cfg.plane_interp == "bilinear"
                      or (cfg.plane_interp == "bicubic"
                          and origins is not None))
-                and fused_decoder.supports(cfg) and vp_ray is not None
+                and fused_decoder.supports(cfg)
+                and (vp_ray is not None or sigma_only)
                 and planes_pos.shape[0] == 3
                 and tile_cfg.tile_rays * slab <= _cap)
     if fused_ok:
-        cv = vp_ray.shape[-1]
         from nvsr_tpu.ops.pallas.tile_sampler import (LANES as _LANES,
                                                       packray_ok,
                                                       viewtile_ok)
         vtile = origins is not None and viewtile_ok(s, tile_cfg)
         pray = vtile and packray_ok(s, tile_cfg)
+        if vp_ray is None:
+            # sigma_only: the kernel never reads the view operand, but
+            # the BlockSpec still streams it — a per-RAY zeros row
+            # block (viewtile) keeps that dead traffic minimal
+            vp_ray = jnp.zeros((r, 1), jnp.float32)
+        cv = vp_ray.shape[-1]
         if vtile:
             # per-RAY view rows: the kernel broadcasts rays -> points
             # in VMEM (viewtile) — skips materializing the [N, 64]
@@ -651,7 +673,8 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 align_corners=cfg.align_corners, interpret=interpret,
                 tables=tile_tables,
                 interp="cubic" if cfg.plane_interp == "bicubic"
-                else "linear", view_tile=vtile, pack_ray=pray)
+                else "linear", view_tile=vtile, pack_ray=pray,
+                sigma_only=sigma_only)
         else:
             from nvsr_tpu.ops.pallas.tile_sampler import \
                 tiled_render_chunked
@@ -662,7 +685,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
                 planes_pos, grids.reshape(3, nt * ns, tr * sl, 2),
                 view64, wpack, bpack, plan_info, cfg, tile_cfg,
                 align_corners=cfg.align_corners, interpret=interpret,
-                tables=tile_tables)
+                tables=tile_tables, sigma_only=sigma_only)
             ovf_mask = None
             pray = False
         if pray:
@@ -676,8 +699,10 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
         if ovf_mask is not None and tile_cfg.repair_frac > 0:
             res, overflow = _repair_overflow_chunks(
                 params, cfg, planes_pos, box, origins, directions,
-                z_vals, vp_ray, ovf_mask, res, tile_cfg, member=member,
-                rot_mats=rot, plane_resolution=plane_resolution)
+                z_vals, None if sigma_only else vp_ray, ovf_mask, res,
+                tile_cfg, member=member, rot_mats=rot,
+                plane_resolution=plane_resolution,
+                sigma_only=sigma_only)
         return res, overflow
     if origins is not None:
         z_c = to_chunks(z_vals[..., None], nt, tr, ns, sl)  # [NC, B, 1]
@@ -731,7 +756,7 @@ def _apply_triplane_rays_tiled(params, cfg, planes_pos, box, pts, vp_ray,
             vp_ray.reshape(nt, 1, tr, 1, cv),
             (nt, ns, tr, sl, cv)).reshape(r * s, cv)
     out = decode_projections(params, cfg, pos_projs, view_c,
-                             member=member)
+                             member=member, sigma_only=sigma_only)
     return from_chunks(out.reshape(nt * ns, tr * sl, 4),
                        nt, tr, ns, sl).reshape(r, s, 4), overflow
 
@@ -741,7 +766,7 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
                                viewdirs, z_vals, *, member: int = 0,
                                rot_mats=None, tile_cfg, tile_tables=None,
                                trainable=False, noise_key=None,
-                               plane_resolution=None):
+                               plane_resolution=None, sigma_only=False):
     """Tiled ray forward straight from (origins, directions, z_vals) —
     skips the ray-major pts materialization entirely (points are
     generated chunk-major inside). origins/directions [R,3],
@@ -750,7 +775,9 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
     capacity (the tiled path's safety net; 0.0 on supported geometry)."""
     r, s = z_vals.shape
     vp_ray = None
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and not sigma_only:
+        # sigma_only (CDF-only coarse pass): the rgb branch is skipped
+        # downstream, so the view-plane gathers are dead work too
         vp_ray = sample_viewdir_plane(plane_view, viewdirs, box, cfg,
                                       dense=not trainable)
     out, overflow = _apply_triplane_rays_tiled(
@@ -758,7 +785,7 @@ def apply_triplane_rays_from_z(params, cfg: TriplaneConfig, planes_pos,
         noise_key=noise_key, rot_mats=rot_mats, tile_cfg=tile_cfg,
         tile_tables=tile_tables, origins=origins, directions=directions,
         z_vals=z_vals, trainable=trainable,
-        plane_resolution=plane_resolution)
+        plane_resolution=plane_resolution, sigma_only=sigma_only)
     return out, {"overflow_frac": overflow}
 
 

@@ -127,14 +127,23 @@ def pack_decoder_weights(params, cfg, member: int = 0):
     return wpack, bpack, (tuple(plan), len(dl), len(rl))
 
 
-def decode_body(feats, fv, wref, bref, cfg, plan_info):
+def decode_body(feats, fv, wref, bref, cfg, plan_info,
+                sigma_only=False):
     """The fused decoder math on in-register per-plane features.
 
     feats: list of 3 [B, HALF] f32 (y-lerped plane features);
     fv: [B, HALF] f32 view features; wref/bref: packed weight refs.
     Returns [B, >=OUT_LANES] f32 (rgb 0:3, sigma 3). Shared by the
     standalone fused_decode kernel and the gather+decode megakernel
-    (tile_sampler.tiled_render_chunked)."""
+    (tile_sampler.tiled_render_chunked).
+
+    sigma_only: skip the view-conditioned rgb branch and its head —
+    the sigma lane (3) is bit-identical to the full decode, rgb lanes
+    hold the constant fc_rgb bias. The eval coarse pass only feeds the
+    hierarchical CDF (weights from sigma; reference
+    train_utils.py:131-156), so a fine-image-only render never reads
+    coarse rgb — this halves the coarse decode (round-5 fast path;
+    the coarse-loss/coarse-PNG eval diagnostics opt out)."""
     plan, n_density, n_rgb = plan_info
     f0, f1, f2 = feats
     comb = f0 + f1 + f2
@@ -176,6 +185,16 @@ def decode_body(feats, fv, wref, bref, cfg, plan_info):
         return x
 
     hd = run_branch([comb], n_density)
+    if sigma_only:
+        # advance the packed-row cursor over the skipped rgb branch
+        # and the rgb head (wr) so the alpha head (wa) indexes
+        # correctly; the bias row is the combined head bias bh
+        for _ in range(n_rgb):
+            state["off"] += plan[state["li"]]
+            state["li"] += 1
+        li_h = state["li"]
+        state["off"] += plan[li_h]          # wr rows
+        return matmul(hd, 128) + bref[li_h, :]
     hr = run_branch([f0, f1, f2, fv], n_rgb)
     return (matmul(hr, 128) + matmul(hd, 128)
             + bref[state["li"], :])

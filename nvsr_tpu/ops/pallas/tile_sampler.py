@@ -907,7 +907,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                     interp="linear", batchdec=False, packout=False,
                     single=False, decm=1, viewtile=False, slab=1, vt=1,
                     packray=False, ns=1, probe="", wbuild="vpu",
-                    slots=2):
+                    slots=2, sigma_only=False):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -1139,8 +1139,10 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                 per = [chunk_feats(g0 + dq) for dq in range(q)]
                 feats = [jnp.concatenate([per[dq][p] for dq in range(q)],
                                          axis=0) for p in range(3)]
-            head = decode_body(feats, fv_range(g0, q), wref, bref, cfg,
-                               plan_info)
+            head = decode_body(feats,
+                               None if sigma_only else fv_range(g0, q),
+                               wref, bref, cfg, plan_info,
+                               sigma_only=sigma_only)
             for dq in range(q):
                 g = g0 + dq
                 h = head[dq * B:(dq + 1) * B, :] if q > 1 else head
@@ -1200,8 +1202,9 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                 per = [chunk_feats(g0 + dq) for dq in range(q)]
                 feats = [jnp.concatenate([per[dq][p] for dq in range(q)],
                                          axis=0) for p in range(3)]
-            fv = fv_range(g0, q)
-            head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+            fv = None if sigma_only else fv_range(g0, q)
+            head = decode_body(feats, fv, wref, bref, cfg, plan_info,
+                               sigma_only=sigma_only)
             for dq in range(q):
                 h_dq = head[dq * B:(dq + 1) * B, :] if q > 1 else head
                 acc = acc + pltpu.roll(h_dq, 8 * (g0 + dq), axis=1)
@@ -1210,15 +1213,18 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
     if not batchdec:
         for g in range(group):
             sl_ = pl.ds(g * B, B)
-            head_g = decode_body(chunk_feats(g), fv_range(g, 1), wref,
-                                 bref, cfg, plan_info)
+            head_g = decode_body(chunk_feats(g),
+                                 None if sigma_only else fv_range(g, 1),
+                                 wref, bref, cfg, plan_info,
+                                 sigma_only=sigma_only)
             out_ref[sl_, :] = head_g[:, :OUT_LANES]
         return
     per_g = [chunk_feats(g) for g in range(group)]
     feats = [jnp.concatenate([per_g[g][p] for g in range(group)], axis=0)
              for p in range(3)]
-    fv = view_ref[:].astype(jnp.float32)
-    head = decode_body(feats, fv, wref, bref, cfg, plan_info)
+    fv = None if sigma_only else view_ref[:].astype(jnp.float32)
+    head = decode_body(feats, fv, wref, bref, cfg, plan_info,
+                       sigma_only=sigma_only)
     out_ref[:] = head[:, :OUT_LANES]
 
 
@@ -1228,12 +1234,14 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                                              "packout", "single", "decm",
                                              "viewtile", "slab", "ns",
                                              "packray", "probe",
-                                             "wbuild", "slots"))
+                                             "wbuild", "slots",
+                                             "sigma_only"))
 def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                   group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
                   single=False, decm=1, viewtile=False, slab=1, ns=1,
-                  packray=False, probe="", wbuild="vpu", slots=2):
+                  packray=False, probe="", wbuild="vpu", slots=2,
+                  sigma_only=False):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1327,7 +1335,8 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           batchdec=batchdec, packout=packout,
                           single=single, decm=decm, viewtile=viewtile,
                           slab=slab, vt=vt, packray=packray, ns=ns,
-                          probe=probe, wbuild=wbuild, slots=slots),
+                          probe=probe, wbuild=wbuild, slots=slots,
+                          sigma_only=sigma_only),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
@@ -1411,7 +1420,8 @@ def _mega_call(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
 def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
                          model_cfg, config: TileSamplerConfig,
                          align_corners: bool = True,
-                         interpret: bool = False, tables=None):
+                         interpret: bool = False, tables=None,
+                         sigma_only: bool = False):
     """Gather + decode for ray-structured chunks in ONE kernel.
 
     planes [P=3, C, H, W]; g_c [3, NC, B, 2] chunk-ordered normalized
@@ -1447,13 +1457,15 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                         overflow_frac, th=th, tw=tw, group=group, B=B,
                         cfg=model_cfg, plan_info=plan_info,
-                        interpret=interpret, wbuild=config.wbuild)
+                        interpret=interpret, wbuild=config.wbuild,
+                        sigma_only=sigma_only)
 
 
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                  overflow_frac, *, th, tw, group, B, cfg, plan_info,
                  interpret, interp="linear", view_tile=False, ns=None,
-                 slab=1, pack_ray=False, wbuild="vpu"):
+                 slab=1, pack_ray=False, wbuild="vpu",
+                 sigma_only=False):
     """Pad to the group multiple and launch the megakernel. fidx/ty are
     [3, NC, B] plane-major (flattened to [3*NC*B, 1] views — no
     per-point interleave); org [NC, 3, 2] (linear) or [NC, 6, 2]
@@ -1582,7 +1594,10 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             wbuild=os.environ.get("NVSR_MEGA_WBUILD", wbuild),
             # region-pipeline depth (2 = double buffer; 4 = 3 steps of
             # DMA lead; measurement A/B, PERF.md round 5)
-            slots=int(os.environ.get("NVSR_MEGA_SLOTS", "2")))
+            slots=int(os.environ.get("NVSR_MEGA_SLOTS", "2")),
+            # sigma-only decode for CDF-only coarse passes (round 5):
+            # v2 path only — the v1 kernel keeps the full decode
+            sigma_only=sigma_only)
         if pack_ray:
             # ray-major rows (tile-coherent): slice off the padded
             # phantom tiles and return [nt*tile_rays, S*4] directly
@@ -1754,7 +1769,8 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
                       config: TileSamplerConfig, box3, rot,
                       align_corners: bool = True, interpret: bool = False,
                       tables=None, interp: str = "linear",
-                      view_tile: bool = False, pack_ray: bool = False):
+                      view_tile: bool = False, pack_ray: bool = False,
+                      sigma_only: bool = False):
     """Gather + decode straight from rays: the fastest production entry.
 
     origins/directions [R, 3] tile-coherent; z_vals [R, S]; view_c
@@ -1792,5 +1808,6 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         cfg=model_cfg, plan_info=plan_info,
         interpret=interpret, interp=interp, view_tile=view_tile,
         ns=z_vals.shape[1] // config.slab, slab=config.slab,
-        pack_ray=pack_ray, wbuild=config.wbuild)
+        pack_ray=pack_ray, wbuild=config.wbuild,
+        sigma_only=sigma_only)
     return out, overflow_frac, jnp.any(ovf_pc, axis=0)

@@ -330,7 +330,8 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                            member: int = 0, noise_key=None,
                            plane_resolution=None, rot_mats=None,
                            tile_cfg=None, tile_train=False,
-                           tile_tables=None) -> PointFn:
+                           tile_tables=None,
+                           sigma_only: bool = False) -> PointFn:
     """Triplane decoder point function (identity encoding; reference
     wires encode_* to identity for the planes model,
     train_nerf.py:312-314).
@@ -338,7 +339,18 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
     tile_cfg: optional TileSamplerConfig — use the locality-bucketed
     Pallas plane sampler (requires tile-coherent ray order; see
     tile_ray_maps). The vertical-pair gather table is built HERE, once
-    per point-fn, so the per-block sampling inside lax.map reuses it."""
+    per point-fn, so the per-block sampling inside lax.map reuses it.
+
+    sigma_only: CDF-only decode for an eval COARSE point fn — the rgb
+    branch and the view-plane gathers are skipped (sigma bit-identical;
+    rgb lanes hold the constant fc_rgb bias). The fine image of a
+    coarse+fine render is unchanged: the hierarchical CDF consumes
+    coarse WEIGHTS only (reference train_utils.py:131-156), and the
+    fine pass re-decodes the merged z with its own decoder. Eval-only
+    (the coarse image/loss diagnostics need the full decode; training
+    always does)."""
+    assert not (sigma_only and tile_train), \
+        "sigma_only is an eval fast path; training needs coarse rgb"
 
     if tile_cfg is not None:
         from nvsr_tpu.models.triplane import apply_triplane_rays_from_z
@@ -370,7 +382,8 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
                 rays.origins, rays.directions, rays.viewdirs, z_vals,
                 member=member, rot_mats=rot_mats, tile_cfg=tile_cfg,
                 tile_tables=tile_tables, trainable=tile_train,
-                noise_key=noise_key, plane_resolution=plane_resolution)
+                noise_key=noise_key, plane_resolution=plane_resolution,
+                sigma_only=sigma_only)
 
         point_fn.consumes_rays = True
         # returns ([R,S,4], {"overflow_frac": scalar}) — the fraction of
@@ -387,7 +400,8 @@ def make_triplane_point_fn(params, model_cfg, planes_pos, plane_view, box, *,
         return apply_triplane_rays(
             params, model_cfg, planes_pos, plane_view, box, pts,
             rays.viewdirs, member=member, noise_key=noise_key,
-            plane_resolution=plane_resolution, rot_mats=rot_mats)
+            plane_resolution=plane_resolution, rot_mats=rot_mats,
+            sigma_only=sigma_only)
 
     return point_fn
 

@@ -154,3 +154,61 @@ def test_ndc_bundle():
     # viewdirs computed pre-NDC must be unit
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(rays.viewdirs, axis=-1)), 1.0, atol=1e-5)
+
+
+def test_sigma_only_coarse_fine_image_bit_exact(rng):
+    """A sigma_only coarse point fn (CDF-only decode: rgb branch +
+    view-plane gathers skipped) leaves the FINE image and the coarse
+    WEIGHTS bit-identical on both the tiled megakernel path and the
+    XLA path — the round-5 render fast path (the hierarchical CDF
+    consumes coarse sigma only; reference train_utils.py:131-156)."""
+    from nvsr_tpu.models.triplane import TriplaneConfig, init_decoder_params
+    from nvsr_tpu.ops.geometry import get_ray_bundle
+    from nvsr_tpu.ops.pallas.tile_sampler import TileSamplerConfig
+    from nvsr_tpu.render import make_triplane_point_fn, render_image
+
+    H = W = 32
+    cfg = TriplaneConfig(proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         skip_connect_every=3,
+                         gather_table_dtype="bfloat16",
+                         compute_dtype="bfloat16")
+
+    def alive(d):
+        d["members"][0]["fc_alpha"]["b"] = \
+            d["members"][0]["fc_alpha"]["b"] + 1.5
+        return d
+
+    dec_c = alive(init_decoder_params(jax.random.PRNGKey(1), cfg))
+    dec_f = alive(init_decoder_params(jax.random.PRNGKey(2), cfg))
+    planes = jnp.asarray(0.05 * rng.standard_normal((3, 48, 128, 128))
+                         .astype(np.float32))
+    pview = jnp.asarray(0.05 * rng.standard_normal((48, 32, 32))
+                        .astype(np.float32))
+    box = jnp.asarray(np.stack([[-4, -4, -4, -np.pi, -np.pi / 2],
+                                [4, 4, 4, np.pi, np.pi / 2]]), jnp.float32)
+    eye = np.asarray([3.5, 0.4, 0.6], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0, 0, 1.0]).astype(np.float32)
+    right /= np.linalg.norm(right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+        right, np.cross(right, fwd), -fwd, eye)
+    ro, rd = get_ray_bundle(H, W, 35.0, np.asarray(c2w))
+    rcfg = RenderConfig(num_coarse=16, num_fine=16, perturb=False,
+                        white_background=True)
+    for tile_cfg, tile in ((TileSamplerConfig(tile_rays=256), 16),
+                           (None, None)):
+        mk = lambda dec, so=False: make_triplane_point_fn(
+            dec, cfg, planes, pview, box, tile_cfg=tile_cfg,
+            sigma_only=so)
+        full = render_image(mk(dec_c), mk(dec_f), ro, rd,
+                            jax.random.PRNGKey(7), rcfg,
+                            near=2.0, far=6.0, tile=tile)
+        so = render_image(mk(dec_c, True), mk(dec_f), ro, rd,
+                          jax.random.PRNGKey(7), rcfg,
+                          near=2.0, far=6.0, tile=tile)
+        np.testing.assert_array_equal(np.asarray(full.fine.rgb),
+                                      np.asarray(so.fine.rgb))
+        np.testing.assert_array_equal(np.asarray(full.coarse.weights),
+                                      np.asarray(so.coarse.weights))

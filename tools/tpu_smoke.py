@@ -124,6 +124,21 @@ def main():
         finally:
             os.environ.pop("NVSR_MEGA_WBUILD", None)
 
+    def mega_bilinear_sigma_only():
+        # sigma-only coarse decode (rgb branch + view stream skipped
+        # in-kernel) combined with a full fine pass — the round-5
+        # fine-image render fast path
+        pf_c = make_triplane_point_fn(params, cfg, planes, pv, box,
+                                      tile_cfg=tc, sigma_only=True)
+        pf_f = make_triplane_point_fn(params, cfg, planes, pv, box,
+                                      tile_cfg=tc)
+        out = render_image(pf_c, pf_f, ro, rd, jax.random.PRNGKey(1),
+                           rcfg, near=0.8, far=3.2, tile=8)
+        rgb = np.asarray(out.fine.rgb)
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+        print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
+              flush=True)
+
     def mega_bilinear_noviewtile():
         # per-point [N, 64] view stream (the pre-round-4 form)
         os.environ["NVSR_MEGA_VIEWTILE"] = "0"
@@ -202,6 +217,8 @@ def main():
     check("megakernel bilinear (v2 + viewtile + packray)", mega_bilinear)
     check("megakernel bilinear (wbuild=mxu rank-2 hat build)",
           mega_bilinear_wbuild_mxu)
+    check("megakernel bilinear (sigma-only coarse decode)",
+          mega_bilinear_sigma_only)
     check("megakernel bilinear (v2, per-point view stream)",
           mega_bilinear_noviewtile)
     check("megakernel bilinear (v2 + packout, packray off)",
