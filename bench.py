@@ -214,11 +214,21 @@ def bench_render(extra: dict, num_coarse=None, num_fine=None,
         # the coarse pass feeds only the hierarchical CDF in this
         # fine-image render, so it decodes sigma-only (rgb branch +
         # view gathers skipped — fine image bit-identical, round 5;
-        # BENCH_COARSE_RGB=1 restores the full coarse decode)
+        # BENCH_COARSE_RGB=1 restores the full coarse decode).
+        # BENCH_GROUP_COARSE: per-pass megakernel group for the coarse
+        # pass (default 16 when the coarse decode is sigma-only — half
+        # the grid steps' fixed issue overhead with half the decode to
+        # pipeline, round-5 A/B 2.364 -> 2.389M; full-decode coarse
+        # keeps the global group)
+        so_c = os.environ.get("BENCH_COARSE_RGB", "0") != "1"
+        tc_c = tile_cfg
+        if tile_cfg is not None:
+            gc = int(os.environ.get("BENCH_GROUP_COARSE",
+                                    16 if so_c else tile_cfg.group))
+            tc_c = dataclasses.replace(tile_cfg, group=gc)
         pf_c = make_triplane_point_fn(
             decoder_c, model_cfg, planes_lr, plane_view, box,
-            tile_cfg=tile_cfg, tile_tables=tables_c,
-            sigma_only=os.environ.get("BENCH_COARSE_RGB", "0") != "1")
+            tile_cfg=tc_c, tile_tables=tables_c, sigma_only=so_c)
         pf_f = make_triplane_point_fn(decoder_f, model_cfg, planes_sr,
                                       plane_view, box, tile_cfg=tile_cfg,
                                       tile_tables=tables_f)

@@ -1530,7 +1530,13 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         # 100 MB VMEM limit; NVSR_MEGA_SCRATCH_MB applies to v1 only).
         # NVSR_MEGA_GROUP A/Bs larger multiples of 8 (bigger decode M
         # via decm, fewer grid steps; region scratch scales with it).
-        group = int(os.environ.get("NVSR_MEGA_GROUP", "8"))
+        # A PER-PASS group can come through TileSamplerConfig.group
+        # (e.g. 16 for a sigma-only coarse pass: half the grid steps'
+        # fixed issue overhead with half the decode matmuls to
+        # pipeline — round-5 A/B); the env overrides both passes.
+        group = int(os.environ.get("NVSR_MEGA_GROUP",
+                                   str(group if group in (8, 16)
+                                       else 8)))
         assert group in (8, 16), \
             "NVSR_MEGA_GROUP must be 8 or 16 (packout packs group " \
             "chunks into 128 lanes; both measured, 8 wins — PERF.md " \
@@ -1580,8 +1586,12 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             # flagship frame (decm 4: 1.772M). decm is clamped to a
             # divisor of the runtime group.
             single=os.environ.get("NVSR_MEGA_SINGLE", "1") != "0",
+            # default 16 gcd-clamps to 8 on the group-8 fine pass
+            # (unchanged) and to 16 on a group-16 sigma-only coarse
+            # pass (one decode issue per grid step; round-5 A/B
+            # 2.389M vs 2.382M group16/decm8)
             decm=math.gcd(group, max(
-                1, int(os.environ.get("NVSR_MEGA_DECM", "8")))),
+                1, int(os.environ.get("NVSR_MEGA_DECM", "16")))),
             viewtile=view_tile, slab=slab,
             ns=ns if view_tile else 1, packray=pack_ray,
             # attribution-only (measurement, never production): "constw"

@@ -149,10 +149,14 @@ def merge_sorted(a, b):
     rank_b = (jnp.arange(nb) +
               jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1))
     pos = jnp.arange(n)
-    one_hot_a = (rank_a[..., :, None] == pos).astype(a.dtype)
-    one_hot_b = (rank_b[..., :, None] == pos).astype(b.dtype)
-    return (jnp.einsum("...an,...a->...n", one_hot_a, a)
-            + jnp.einsum("...bn,...b->...n", one_hot_b, b))
+    # mask-multiply-SUM, not an einsum/dot_general: a batched dot
+    # materializes the [R, na, n] one-hot operands in HBM (~GBs at
+    # frame ray counts), while an elementwise*reduce chain fuses into
+    # one pass with the masks generated on the fly (round-5 sampling
+    # diet; same numerics)
+    oa = (rank_a[..., :, None] == pos).astype(a.dtype) * a[..., :, None]
+    ob = (rank_b[..., :, None] == pos).astype(b.dtype) * b[..., :, None]
+    return jnp.sum(oa, axis=-2) + jnp.sum(ob, axis=-2)
 
 
 def hierarchical_z_vals(key, z_vals, weights, num_fine: int, det: bool,
