@@ -330,14 +330,16 @@ def bench_psnr_gate(extra: dict) -> None:
 
     rgb_x, _ = frame(None, None)
     # the production tiled-eval ladder (experiment.render_eval_image):
-    # default 16x16 tiles, then compact 8x8/slab-1/full-region tiles
+    # default 16x16 tiles, then compact 8x16/slab-1/full-region tiles
+    # (B=128 — the smallest v2-kernel-eligible slab-1 chunk, 4.7x the
+    # old 8x8/B=64 v1-fallback step; PERF.md R5 batch 10)
     rgb_t, ovf = frame(TileSamplerConfig(tile_rays=256), 16)
     extra["psnr_gate_config"] = "default"
     if ovf > 0.0:
         rgb_t2, ovf2 = frame(
-            TileSamplerConfig(tile_rays=64, slab=1,
+            TileSamplerConfig(tile_rays=128, slab=1,
                               adaptive_region=False,
-                              repair_frac=0.125), 8, union=False)
+                              repair_frac=0.125), (8, 16), union=False)
         if ovf2 < ovf:
             rgb_t, ovf = rgb_t2, ovf2
             extra["psnr_gate_config"] = "compact"
@@ -389,10 +391,10 @@ def bench_psnr_gate(extra: dict) -> None:
         return repeats * a["h"] * a["w"] / (time.perf_counter() - t0)
 
     resolved = {"default": (TileSamplerConfig(tile_rays=256), 16, True),
-                "compact": (TileSamplerConfig(tile_rays=64, slab=1,
+                "compact": (TileSamplerConfig(tile_rays=128, slab=1,
                                               adaptive_region=False,
-                                              repair_frac=0.125), 8,
-                            False)}[extra["psnr_gate_config"]]
+                                              repair_frac=0.125),
+                            (8, 16), False)}[extra["psnr_gate_config"]]
     try:
         rate_t = timed_rate(*resolved)
         rate_x = timed_rate(None, None)

@@ -900,8 +900,15 @@ class Experiment:
             else self.decoder_opt.params["df"])
         tile_cfg = self.eval_tile_cfg(scene_id) if tiled else None
         if tiled == "compact" and tile_cfg is not None:
+            # 8x16-ray tiles at B=128: the smallest slab-1 chunk shape
+            # the v2 megakernel accepts (B % 128 == 0) — 4.7x the
+            # 8x8/B=64 step's throughput on the gate scene (which fell
+            # back to the v1 kernel; PERF.md R5 batch 10) with ample
+            # full-region headroom (rows <= 8+7 of 24, cells <= 17 of
+            # 18); the repair budget + XLA fallback still catch
+            # geometry beyond it
             import dataclasses as _dc
-            tile_cfg = _dc.replace(tile_cfg, tile_rays=64, slab=1,
+            tile_cfg = _dc.replace(tile_cfg, tile_rays=128, slab=1,
                                    adaptive_region=False,
                                    repair_frac=0.125)
         model_cfg = self.model_cfg
@@ -1053,7 +1060,7 @@ class Experiment:
         # scenes with large occupancy boxes overflow the default
         # envelope at slab 4 — tools/exp_gate_overflow.py).
         ladder = [(True, self.eval_tile_shape()),
-                  ("compact", (8, 8)),
+                  ("compact", (8, 16)),
                   (False, None)]
         plans = getattr(self, "_tiled_eval_plan", None)
         if plans is None:
