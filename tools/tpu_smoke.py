@@ -139,6 +139,25 @@ def main():
         print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
               flush=True)
 
+    def mega_compact_ladder_step():
+        # the eval ladder's compact step shape: 8x16-ray slab-1 B=128
+        # chunks, full regions, repair enabled, sigma-only coarse —
+        # the smallest v2-eligible slab-1 form (round 5)
+        import dataclasses as _dc
+        tcc = _dc.replace(tc, tile_rays=128, slab=1,
+                          adaptive_region=False, repair_frac=0.125)
+        pf_c = make_triplane_point_fn(params, cfg, planes, pv, box,
+                                      tile_cfg=tcc, sigma_only=True)
+        pf_f = make_triplane_point_fn(params, cfg, planes, pv, box,
+                                      tile_cfg=tcc)
+        out = render_image(pf_c, pf_f, ro, rd, jax.random.PRNGKey(1),
+                           rcfg, near=0.8, far=3.2, tile=(8, 16),
+                           tighten_tile_union=False)
+        rgb = np.asarray(out.fine.rgb)
+        assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+        print(f"      overflow={float(out.aux['overflow_frac']):.4f}",
+              flush=True)
+
     def mega_bilinear_noviewtile():
         # per-point [N, 64] view stream (the pre-round-4 form)
         os.environ["NVSR_MEGA_VIEWTILE"] = "0"
@@ -219,6 +238,8 @@ def main():
           mega_bilinear_wbuild_mxu)
     check("megakernel bilinear (sigma-only coarse decode)",
           mega_bilinear_sigma_only)
+    check("megakernel compact ladder step (8x16 slab-1 B=128 + repair)",
+          mega_compact_ladder_step)
     check("megakernel bilinear (v2, per-point view stream)",
           mega_bilinear_noviewtile)
     check("megakernel bilinear (v2 + packout, packray off)",
