@@ -128,7 +128,7 @@ def pack_decoder_weights(params, cfg, member: int = 0):
 
 
 def decode_body(feats, fv, wref, bref, cfg, plan_info,
-                sigma_only=False):
+                sigma_only=False, skip_fv=False):
     """The fused decoder math on in-register per-plane features.
 
     feats: list of 3 [B, HALF] f32 (y-lerped plane features);
@@ -143,7 +143,11 @@ def decode_body(feats, fv, wref, bref, cfg, plan_info,
     hierarchical CDF (weights from sigma; reference
     train_utils.py:131-156), so a fine-image-only render never reads
     coarse rgb — this halves the coarse decode (round-5 fast path;
-    the coarse-loss/coarse-PNG eval diagnostics opt out)."""
+    the coarse-loss/coarse-PNG eval diagnostics opt out).
+
+    skip_fv: attribution-only (NVSR_MEGA_PROBE=nofv): the fv part's
+    matmuls are skipped (packed-row cursor still advances) — bounds
+    the per-ray-precompute ("fvz") opportunity."""
     plan, n_density, n_rgb = plan_info
     f0, f1, f2 = feats
     comb = f0 + f1 + f2
@@ -158,6 +162,12 @@ def decode_body(feats, fv, wref, bref, cfg, plan_info,
         return jnp.dot(x.astype(jnp.bfloat16), w,
                        preferred_element_type=jnp.float32)
 
+    def part_mm(part):
+        if skip_fv and part is fv:
+            state["off"] += HALF
+            return 0.0
+        return matmul(part, HALF)
+
     def run_branch(x_in_parts, n_layers):
         x = None
         for ln in range(n_layers):
@@ -165,12 +175,12 @@ def decode_body(feats, fv, wref, bref, cfg, plan_info,
             if ln == 0:
                 y = 0.0
                 for part in x_in_parts:
-                    y = y + matmul(part, HALF)
+                    y = y + part_mm(part)
                 assert rows_n == HALF * len(x_in_parts)
             elif cfg.is_skip_layer(ln - 1):
                 y = matmul(x, 128)
                 for part in x_in_parts:
-                    y = y + matmul(part, HALF)
+                    y = y + part_mm(part)
                 assert rows_n == 128 + HALF * len(x_in_parts)
             else:
                 y = matmul(x, 128)

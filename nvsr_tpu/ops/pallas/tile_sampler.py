@@ -1142,7 +1142,8 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
             head = decode_body(feats,
                                None if sigma_only else fv_range(g0, q),
                                wref, bref, cfg, plan_info,
-                               sigma_only=sigma_only)
+                               sigma_only=sigma_only,
+                               skip_fv=probe == "nofv")
             for dq in range(q):
                 g = g0 + dq
                 h = head[dq * B:(dq + 1) * B, :] if q > 1 else head
@@ -1204,7 +1205,8 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                                          axis=0) for p in range(3)]
             fv = None if sigma_only else fv_range(g0, q)
             head = decode_body(feats, fv, wref, bref, cfg, plan_info,
-                               sigma_only=sigma_only)
+                               sigma_only=sigma_only,
+                               skip_fv=probe == "nofv")
             for dq in range(q):
                 h_dq = head[dq * B:(dq + 1) * B, :] if q > 1 else head
                 acc = acc + pltpu.roll(h_dq, 8 * (g0 + dq), axis=1)
@@ -1216,7 +1218,8 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
             head_g = decode_body(chunk_feats(g),
                                  None if sigma_only else fv_range(g, 1),
                                  wref, bref, cfg, plan_info,
-                                 sigma_only=sigma_only)
+                                 sigma_only=sigma_only,
+                                 skip_fv=probe == "nofv")
             out_ref[sl_, :] = head_g[:, :OUT_LANES]
         return
     per_g = [chunk_feats(g) for g in range(group)]
@@ -1224,7 +1227,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
              for p in range(3)]
     fv = None if sigma_only else view_ref[:].astype(jnp.float32)
     head = decode_body(feats, fv, wref, bref, cfg, plan_info,
-                       sigma_only=sigma_only)
+                       sigma_only=sigma_only, skip_fv=probe == "nofv")
     out_ref[:] = head[:, :OUT_LANES]
 
 
