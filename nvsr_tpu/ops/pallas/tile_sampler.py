@@ -942,6 +942,15 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
     def dma(slot, org, g, p):
         oy = pl.multiple_of(org[0, g, p, 0], YALIGN)
         ox = pl.multiple_of(org[0, g, p, 1] * LANES, LANES)
+        if probe == "halfdma":
+            # attribution-only: fetch ONE 8-row tile of each region
+            # (same copy count, th/8 x fewer bytes; the unfetched rows
+            # compute on garbage) — splits the DMA cost into per-copy
+            # vs per-byte (slice rows must be 8-aligned)
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(oy, 8), pl.ds(ox, tw * LANES)],
+                region.at[slot, g, p, pl.ds(0, 8)],
+                sem.at[slot, g, p])
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
             region.at[slot, g, p],
