@@ -901,13 +901,13 @@ def _mega_kernel(org_cur, org_nxt, f0, f1, f2, t0, t1, t2, view_ref,
     out_ref[:] = head[:, :OUT_LANES]
 
 
-def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
-                    t2, view_ref, table_ref, wref, bref, out_ref, region,
-                    sem, *, th, tw, group, B, cfg, plan_info,
+def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, sub_ref, f0, f1, f2,
+                    t0, t1, t2, view_ref, table_ref, wref, bref, out_ref,
+                    region, sem, *, th, tw, group, B, cfg, plan_info,
                     interp="linear", batchdec=False, packout=False,
                     single=False, decm=1, viewtile=False, slab=1, vt=1,
                     packray=False, ns=1, probe="", wbuild="vpu",
-                    slots=2, sigma_only=False):
+                    slots=2, sigma_only=False, dmapair=False):
     """Descriptor-transposed megakernel (round 4).
 
     fidx/ty arrive as [1, group*B] lane-major ROWS (one block row per
@@ -939,22 +939,28 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def dma(slot, org, g, p):
-        oy = pl.multiple_of(org[0, g, p, 0], YALIGN)
-        ox = pl.multiple_of(org[0, g, p, 1] * LANES, LANES)
+    # dmapair: regions are fetched per PAIR of consecutive chunks at
+    # (rh, rw) = (th+8, tw+4) union dims; each chunk's gather reads its
+    # own aligned sub-window (sub_ref offsets: rows multiple of 8,
+    # cells lane-granular). See _mega_finish / PERF.md R5 batch 12.
+    rh, rw = (th + 8, tw + 4) if dmapair else (th, tw)
+
+    def dma(slot, org, j, p):
+        oy = pl.multiple_of(org[0, j, p, 0], YALIGN)
+        ox = pl.multiple_of(org[0, j, p, 1] * LANES, LANES)
         if probe == "halfdma":
             # attribution-only: fetch ONE 8-row tile of each region
             # (same copy count, th/8 x fewer bytes; the unfetched rows
             # compute on garbage) — splits the DMA cost into per-copy
             # vs per-byte (slice rows must be 8-aligned)
             return pltpu.make_async_copy(
-                table_ref.at[pl.ds(oy, 8), pl.ds(ox, tw * LANES)],
-                region.at[slot, g, p, pl.ds(0, 8)],
-                sem.at[slot, g, p])
+                table_ref.at[pl.ds(oy, 8), pl.ds(ox, rw * LANES)],
+                region.at[slot, j, p, pl.ds(0, 8)],
+                sem.at[slot, j, p])
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(oy, th), pl.ds(ox, tw * LANES)],
-            region.at[slot, g, p],
-            sem.at[slot, g, p])
+            table_ref.at[pl.ds(oy, rh), pl.ds(ox, rw * LANES)],
+            region.at[slot, j, p],
+            sem.at[slot, j, p])
 
     # slots = depth of the region double-buffer pipeline (2 = classic
     # double buffering: step i+1's fetch issued at step i; 4 = three
@@ -962,20 +968,21 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
     # org views are the next `slots` grid steps' origin rows.
     org_views = (org_v0, org_v1, org_v2, org_v3)[:slots] \
         if slots > 2 else (org_v0, org_v1)
+    n_copy = group // 2 if dmapair else group
     if probe != "nodma":
         @pl.when(i == 0)
         def _():
             for d in range(min(slots - 1, n)):
-                for g in range(group):
+                for j in range(n_copy):
                     for p in range(pp):
-                        dma(d, org_views[d], g, p).start()
+                        dma(d, org_views[d], j, p).start()
 
         @pl.when(i + slots - 1 < n)
         def _():
-            for g in range(group):
+            for j in range(n_copy):
                 for p in range(pp):
                     dma((i + slots - 1) % slots, org_views[slots - 1],
-                        g, p).start()
+                        j, p).start()
 
     slot = i % slots
     rowsT = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0
@@ -1024,8 +1031,25 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
         # probe="nowait": copies still START (engine + descriptor-issue
         # cost stays) but completions are never awaited — splits the
         # nodma delta into issue-side vs wait-side.
-        if probe not in ("nodma", "nowait"):
+        # dmapair: the pair's single copy is awaited once, by the
+        # EVEN chunk (chunks are processed in ascending order).
+        if probe in ("nodma", "nowait"):
+            return
+        if dmapair:
+            if g % 2 == 0:
+                dma(slot, org_v0, g // 2, p).wait()
+        else:
             dma(slot, org_v0, g, p).wait()
+
+    def regwin(g, p):
+        # the chunk's (th, tw)-cell gather window of its (pair) region
+        if not dmapair:
+            return region[slot, g, p].reshape(T, LANES)
+        soy = pl.multiple_of(sub_ref[0, g, p, 0], YALIGN)
+        sox = pl.multiple_of(sub_ref[0, g, p, 1] * LANES, LANES)
+        win = region[slot, g // 2, p, pl.ds(soy, th),
+                     pl.ds(sox, tw * LANES)]
+        return win.reshape(th, tw, LANES).reshape(T, LANES)
 
     if wbuild == "mxu" and interp == "linear" and single:
         # MXU-assisted hat build (round 5): the [T, B] VPU build
@@ -1069,7 +1093,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
             if w3 is not None:
                 wT = w3[:, p * B:(p + 1) * B]
                 wait(g, p)
-                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                rows = dg(wT, regwin(g, p))
                 tyc = dg(tyv, ones_r)
                 feats_g.append(rows[:, :DHALF]
                                + tyc[:, :DHALF]
@@ -1082,7 +1106,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                 # cost while keeping every matmul/DMA/lerp in place.
                 wT = (rowsT * 1e-7 + 0.31).astype(jnp.bfloat16)
                 wait(g, p)
-                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                rows = dg(wT, regwin(g, p))
                 tyc = dg(tyv, ones_r)
                 feats_g.append(rows[:, :DHALF]
                                + tyc[:, :DHALF]
@@ -1092,7 +1116,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                 wT = jnp.maximum(0.0, 1.0 - jnp.abs(rowsT - fx)
                                  ).astype(jnp.bfloat16)
                 wait(g, p)
-                rows = dg(wT, region[slot, g, p].reshape(T, LANES))
+                rows = dg(wT, regwin(g, p))
                 tyc = dg(tyv, ones_r)            # [B, 128] f32 rank-1
                 feats_g.append(rows[:, :DHALF]
                                + tyc[:, :DHALF]
@@ -1102,7 +1126,7 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                 w2 = jnp.concatenate([wT * (1.0 - tyv), wT * tyv],
                                      axis=1).astype(jnp.bfloat16)
                 wait(g, p)
-                o2 = dg(w2, region[slot, g, p].reshape(T, LANES))
+                o2 = dg(w2, regwin(g, p))
                 feats_g.append(o2[:B, :DHALF] + o2[B:, DHALF:])
             else:
                 wT = _cubic_weight(rowsT - fx)
@@ -1247,13 +1271,13 @@ def _mega_kernel_v2(org_v0, org_v1, org_v2, org_v3, f0, f1, f2, t0, t1,
                                              "viewtile", "slab", "ns",
                                              "packray", "probe",
                                              "wbuild", "slots",
-                                             "sigma_only"))
-def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
-                  group, B, cfg, plan_info, interp="linear",
+                                             "sigma_only", "dmapair"))
+def _mega_call_v2(table, org, sub, fidx, ty, view, wpack, bpack, *, th,
+                  tw, group, B, cfg, plan_info, interp="linear",
                   interpret=False, batchdec=False, packout=False,
                   single=False, decm=1, viewtile=False, slab=1, ns=1,
                   packray=False, probe="", wbuild="vpu", slots=2,
-                  sigma_only=False):
+                  sigma_only=False, dmapair=False):
     """fidx/ty arrive as [3*NC, B] f32 — one lane-major row per
     (plane, chunk), (group, B) blocks, three index_map views per array
     (same pattern as v1's plane-major views); group must be a multiple
@@ -1270,6 +1294,12 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
     assert fidx.shape == (3 * nsteps * group, B), fidx.shape
     assert not (packout and batchdec)
     assert not packout or group <= 16
+    # dmapair: org rows hold PAIR-union origins ([.., group//2, pp, 2])
+    # and `sub` the per-chunk aligned sub-window offsets; regions are
+    # fetched per pair at (th+8, tw+4) — see _mega_finish
+    o_g = group // 2 if dmapair else group
+    assert org.shape[1] == o_g, (org.shape, group, dmapair)
+    rh, rw = (th + 8, tw + 4) if dmapair else (th, tw)
     # Mosaic block constraint: the last two block dims must divide
     # (8, 128) or equal the respective array dims — hence per-CHUNK
     # descriptor rows [3*NC, B] with (group, B) blocks: group % 8 == 0
@@ -1348,17 +1378,19 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
                           single=single, decm=decm, viewtile=viewtile,
                           slab=slab, vt=vt, packray=packray, ns=ns,
                           probe=probe, wbuild=wbuild, slots=slots,
-                          sigma_only=sigma_only),
+                          sigma_only=sigma_only, dmapair=dmapair),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=out_shape,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, group, pp, 2),
+            pl.BlockSpec((1, o_g, pp, 2),
                          lambda i, _d=d: (i + _d, 0, 0, 0),
                          memory_space=pltpu.SMEM)
             for d in range(4)
         ] + [
+            pl.BlockSpec((1, group, pp, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pm_spec(0), pm_spec(1), pm_spec(2),
             pm_spec(0), pm_spec(1), pm_spec(2),
             vspec,
@@ -1368,12 +1400,12 @@ def _mega_call_v2(table, org, fidx, ty, view, wpack, bpack, *, th, tw,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((slots, group, pp, th, tw * LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((slots, group, pp)),
+            pltpu.VMEM((slots, o_g, pp, rh, rw * LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((slots, o_g, pp)),
         ],
         interpret=interpret,
-    )(org, org, org, org, fidx, fidx, fidx, ty, ty, ty, view, table,
-      wpack, bpack)
+    )(org, org, org, org, sub, fidx, fidx, fidx, ty, ty, ty, view,
+      table, wpack, bpack)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "group", "B",
@@ -1466,11 +1498,13 @@ def tiled_render_chunked(planes, g_c, view_c, wpack, bpack, plan_info,
     plane_row0 = (jnp.arange(P, dtype=jnp.int32) * Hp)[:, None]
     org = jnp.stack([oy + plane_row0, ox], axis=-1)      # [3, NC, 2]
     org = jnp.moveaxis(org, 0, 1)                        # [NC, 3, 2]
-    return _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
-                        overflow_frac, th=th, tw=tw, group=group, B=B,
-                        cfg=model_cfg, plan_info=plan_info,
-                        interpret=interpret, wbuild=config.wbuild,
-                        sigma_only=sigma_only)
+    out, overflow_frac, _ = _mega_finish(
+        table, org, fidx, ty, view_c, wpack, bpack,
+        overflow_frac, th=th, tw=tw, group=group, B=B,
+        cfg=model_cfg, plan_info=plan_info,
+        interpret=interpret, wbuild=config.wbuild,
+        sigma_only=sigma_only)
+    return out, overflow_frac
 
 
 def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
@@ -1516,7 +1550,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
             nt_ = org.shape[0] // ns
             out = jnp.zeros((nt_ * (B // slab), ns * slab * 4),
                             jnp.float32) + dep
-            return out, overflow_frac
+            return out, overflow_frac, None
         dep = ((fidx[0] + fidx[1] + fidx[2] + ty[0]).reshape(-1, 1)
                * 1e-6 + org.sum() * 1e-9)
         vterm = (view_c[:1, :OUT_LANES].astype(jnp.float32) if view_tile
@@ -1524,7 +1558,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         out = (vterm + dep
                + table[:1, :OUT_LANES].astype(jnp.float32) * 1e-30
                + wpack[:1, :OUT_LANES] * 1e-30)
-        return out, overflow_frac
+        return out, overflow_frac, None
     NC, pp = org.shape[0], org.shape[-2]
     batchdec = os.environ.get("NVSR_MEGA_BATCHDEC", "0") != "0"
     # v2 (descriptor-transposed kernel, see _mega_kernel_v2) is the
@@ -1580,6 +1614,44 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         [org.reshape(nsteps, group, pp, 2),
          jnp.zeros((3, group, pp, 2), org.dtype)], axis=0)
 
+    # PAIR-SHARED region fetches (round 5, NVSR_MEGA_DMAPAIR=1):
+    # consecutive chunks (2j, 2j+1) — same tile, adjacent slabs — share
+    # ONE fetched union region of (th+8, tw+4); each chunk gathers from
+    # its own aligned sub-window (row offsets multiple of 8, cell
+    # offsets lane-granular). The region DMA cost is PER-COPY, not
+    # per-byte (halfdma probe, PERF.md R5 batch 12), so halving the
+    # copies is free; pairs whose origin delta exceeds the union slack
+    # are clamped + flagged for the repair/ladder path exactly like
+    # capacity overflow.
+    dmapair = (use_v2 and interp == "linear" and not batchdec
+               and os.environ.get("NVSR_MEGA_DMAPAIR", "0") == "1"
+               and group % 2 == 0)
+    sub = jnp.zeros((nsteps, group, pp, 2), jnp.int32)
+    pair_ovf = None
+    if dmapair:
+        th_u, tw_u = th + 8, tw + 4
+        wp_cells = table.shape[1] // LANES
+        if table.shape[0] < th_u or wp_cells < tw_u:
+            dmapair = False
+    if dmapair:
+        o2 = org[:nsteps].reshape(nsteps, group // 2, 2, pp, 2)
+        o_u = jnp.min(o2, axis=2)                 # [ns, g/2, pp, 2]
+        o_u = jnp.minimum(
+            o_u, jnp.asarray([table.shape[0] - th_u, wp_cells - tw_u],
+                             o_u.dtype))
+        d = o2 - o_u[:, :, None]                  # per-chunk offsets
+        lim = jnp.asarray([8, 4], d.dtype)
+        sub = jnp.minimum(d, lim).reshape(nsteps, group, pp, 2)
+        over = jnp.any((d > lim).reshape(nsteps * group, pp * 2),
+                       axis=-1)                   # [NC+pad]
+        pair_ovf = over[:NC]
+        overflow_frac = jnp.maximum(
+            overflow_frac, jnp.mean(pair_ovf.astype(jnp.float32)))
+        org_p = jnp.concatenate(
+            [o_u, jnp.zeros((3, group // 2, pp, 2), o_u.dtype)], axis=0)
+    else:
+        org_p = org
+
     if use_v2:
         # packout (see _mega_kernel_v2): lane-packed [nsteps*B, 128]
         # output instead of the 16x-tile-padded [N, 8]; unpacked here
@@ -1587,11 +1659,11 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         packout = (not pack_ray and not batchdec
                    and os.environ.get("NVSR_MEGA_PACKOUT", "1") != "0")
         out = _mega_call_v2(
-            table, org, fidx.reshape(3 * nsteps * group, B),
+            table, org_p, sub, fidx.reshape(3 * nsteps * group, B),
             ty.reshape(3 * nsteps * group, B), view_c, wpack, bpack,
             th=th, tw=tw, group=group, B=B, cfg=cfg, plan_info=plan_info,
             interp=interp, interpret=interpret, batchdec=batchdec,
-            packout=packout,
+            packout=packout, dmapair=dmapair,
             # shipped defaults (round-4 hardware A/B, PERF.md): the
             # single-M gather + whole-group q=8 decode measured 1.849M
             # vs 1.430M rays/s for the folded/per-chunk form on the
@@ -1623,7 +1695,8 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
         if pack_ray:
             # ray-major rows (tile-coherent): slice off the padded
             # phantom tiles and return [nt*tile_rays, S*4] directly
-            return out[:(NC // ns) * (B // slab)], overflow_frac
+            return (out[:(NC // ns) * (B // slab)], overflow_frac,
+                    pair_ovf)
         if packout:
             from nvsr_tpu.ops.pallas.fused_decoder import OUT_LANES
             out = out.reshape(nsteps, B, 16, 8)
@@ -1637,7 +1710,7 @@ def _mega_finish(table, org, fidx, ty, view_c, wpack, bpack,
                          interpret=interpret, batchdec=batchdec)
     if pad:
         out = out[:NC * B]
-    return out, overflow_frac
+    return out, overflow_frac, pair_ovf
 
 
 # ---------------------------------------------------------------------------
@@ -1824,7 +1897,7 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         align_corners=align_corners, interp=interp, Wp=Wp)
     overflow_frac = jnp.mean(ovf_pc.astype(jnp.float32))
     B = config.chunk_points
-    out, overflow_frac = _mega_finish(
+    out, overflow_frac, pair_ovf = _mega_finish(
         table, org, fidx, ty, view_c, wpack, bpack,
         overflow_frac, th=th, tw=tw, group=group, B=B,
         cfg=model_cfg, plan_info=plan_info,
@@ -1832,4 +1905,8 @@ def tiled_render_rays(planes, origins, directions, z_vals, view_c, wpack,
         ns=z_vals.shape[1] // config.slab, slab=config.slab,
         pack_ray=pack_ray, wbuild=config.wbuild,
         sigma_only=sigma_only)
-    return out, overflow_frac, jnp.any(ovf_pc, axis=0)
+    ovf_mask = jnp.any(ovf_pc, axis=0)
+    if pair_ovf is not None:
+        # pair-union clamps are repaired exactly like capacity clamps
+        ovf_mask = ovf_mask | pair_ovf
+    return out, overflow_frac, ovf_mask

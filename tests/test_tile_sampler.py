@@ -1171,8 +1171,9 @@ def test_megakernel_wbuild_direct_call(rng):
     ty = rng.random((3 * NC, B)).astype(np.float32)
     view = jnp.asarray(rng.standard_normal((NC * B, 64))
                        .astype(np.float32)).astype(jnp.bfloat16)
-    args = (table, jnp.asarray(org), jnp.asarray(fidx), jnp.asarray(ty),
-            view, wpack, bpack)
+    sub = jnp.zeros((nsteps, group, 3, 2), jnp.int32)
+    args = (table, jnp.asarray(org), sub, jnp.asarray(fidx),
+            jnp.asarray(ty), view, wpack, bpack)
     kw = dict(th=th, tw=tw, group=group, B=B, cfg=cfg,
               plan_info=plan_info, interp="linear", interpret=True,
               single=True, decm=8, packout=True)
@@ -1424,3 +1425,66 @@ def test_experiment_tiled_train_runs(tmp_path):
         exp.train_iteration(i)
     after = np.asarray(exp.planes_buffer.get(scene).params()["pos"])
     assert not np.allclose(before, after)
+
+
+def test_megakernel_dmapair_matches_and_flags(rng, monkeypatch):
+    """Pair-shared region fetches (NVSR_MEGA_DMAPAIR=1): chunks whose
+    pair-origin delta fits the (th+8, tw+4) union slack gather
+    BIT-IDENTICALLY to the per-chunk-fetch kernel; a pair beyond the
+    slack is clamped and flagged in the returned pair mask (feeding
+    the repair/ladder path). PERF.md R5 batch 12."""
+    from nvsr_tpu.models.triplane import (TriplaneConfig,
+                                          init_decoder_params)
+    from nvsr_tpu.ops.pallas import fused_decoder as fd
+    from nvsr_tpu.ops.pallas import tile_sampler as ts
+
+    cfg = TriplaneConfig(dec_channels=128, num_plane_channels=48,
+                         dec_density_layers=4, dec_rgb_layers=4,
+                         skip_connect_every=3, proj_combination="avg",
+                         viewdir_proj_combination="concat_pos",
+                         compute_dtype="bfloat16")
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    wpack, bpack, plan_info = fd.pack_decoder_weights(params, cfg)
+    B, group, th, tw = 128, 8, 24, 14
+    T = th * tw
+    NC, Wp = 32, 24
+    table = jnp.asarray(rng.standard_normal((1600, Wp * 128))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+    org = np.zeros((NC, 3, 2), np.int32)
+    for j in range(NC // 2):
+        for p in range(3):
+            oy = int(rng.integers(0, (1600 - th - 16) // 8)) * 8
+            ox = int(rng.integers(0, Wp - tw - 6))
+            dy, dx = int(rng.integers(0, 2)) * 8, int(rng.integers(0, 5))
+            org[2 * j, p] = (oy, ox)
+            org[2 * j + 1, p] = (oy + dy, ox + dx)
+    # pair 3: origin delta 16 rows > the 8-row union slack -> clamp
+    org[7, 0, 0] = org[6, 0, 0] + 16
+    fidx = (rng.random((3, NC, B)) * (T - 2)).astype(np.float32)
+    ty = rng.random((3, NC, B)).astype(np.float32)
+    view = jnp.asarray(rng.standard_normal((NC * B, 64))
+                       .astype(np.float32)).astype(jnp.bfloat16)
+    args = (table, jnp.asarray(org), jnp.asarray(fidx), jnp.asarray(ty),
+            view, wpack, bpack, jnp.float32(0.0))
+    kw = dict(th=th, tw=tw, group=group, B=B, cfg=cfg,
+              plan_info=plan_info, interpret=True)
+
+    monkeypatch.delenv("NVSR_MEGA_DMAPAIR", raising=False)
+    out0, ovf0, m0 = ts._mega_finish(*args, **kw)
+    assert m0 is None
+    monkeypatch.setenv("NVSR_MEGA_DMAPAIR", "1")
+    out1, ovf1, m1 = ts._mega_finish(*args, **kw)
+    monkeypatch.delenv("NVSR_MEGA_DMAPAIR", raising=False)
+
+    m1 = np.asarray(m1)
+    assert m1.shape == (NC,)
+    # exactly the chunk(s) of the over-slack pair are flagged
+    assert m1[7] and not m1[6], m1
+    assert m1.sum() == 1, m1
+    assert float(ovf1) > float(ovf0)
+    a, b = np.asarray(out0), np.asarray(out1)
+    point_ok = ~np.repeat(m1, B)
+    np.testing.assert_array_equal(a[point_ok], b[point_ok])
+    # the clamped chunk gathers from shifted rows — it must differ
+    # (this also proves the pair path actually engaged)
+    assert np.abs(a[~point_ok] - b[~point_ok]).max() > 0.0

@@ -466,7 +466,7 @@ def main():
             @jax.jit
             def prodvt_call(table, org_p, fidx_p, ty_p, view_r, wpack,
                             bpack):
-                out, _ = _mega_finish(
+                out, _, _p = _mega_finish(
                     table, org_p, fidx_p, ty_p, view_r, wpack, bpack,
                     jnp.float32(0.0), th=th, tw=tw, group=group, B=B,
                     cfg=cfg, plan_info=plan_info, interpret=False,
@@ -496,7 +496,7 @@ def main():
             @jax.jit
             def prod_call(table, org_p, fidx_p, ty_p, view_b, wpack,
                           bpack):
-                out, _ = _mega_finish(
+                out, _, _p = _mega_finish(
                     table, org_p, fidx_p, ty_p, view_b, wpack, bpack,
                     jnp.float32(0.0), th=th, tw=tw, group=group, B=B,
                     cfg=cfg, plan_info=plan_info, interpret=False,
